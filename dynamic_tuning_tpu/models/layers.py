@@ -1,0 +1,339 @@
+"""Core DyT layers: Adapter, MoE-Adapter, TokenSelect, Attention, Mlp, Block.
+
+Behavioral spec from the reference (all cites into /root/reference):
+  * Adapter           models/dynamic_adapter.py:80-140
+  * TokenSelect       models/dynamic_adapter.py:58-77
+  * Attention         models/vision_transformer_IN21K.py:27-75
+  * Block             models/vision_transformer_IN21K.py:88-185
+  * MoE adapter       README.md:27 (paper-only; no reference code exists)
+
+TPU-first design notes:
+  * All matmuls run in ``dtype`` (bfloat16 by default) with fp32 params —
+    the analogue of the reference's CUDA AMP autocast.  LayerNorm and softmax
+    stay fp32, matching autocast behavior.
+  * The gate is applied as a static-shape mask-multiply in training (exactly
+    the reference's train form); the dynamic-gather "speed" form lives in
+    ``models/speed_vit.py`` as a capacity-bounded dispatch.
+  * Blocks are plain linen modules so XLA fuses LN + gate + adapter epilogues
+    into the MLP matmuls; the hand-written Pallas fused kernels live in
+    ``ops/`` and are swapped in via ``use_pallas``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dynamic_tuning_tpu.config import SelectConfig, TuningConfig
+from dynamic_tuning_tpu.ops.gumbel import gumbel_sigmoid
+
+Dtype = Any
+
+# --- initializers -----------------------------------------------------------
+
+def torch_kaiming_uniform(a: float = math.sqrt(5)):
+    """torch.nn.init.kaiming_uniform_ on a flax kernel of shape (in, out).
+
+    With a=sqrt(5) (torch Linear default / the reference adapter "lora" init,
+    dynamic_adapter.py:114) the bound reduces to 1/sqrt(fan_in).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+# --- stochastic depth --------------------------------------------------------
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference uses timm DropPath; rate 0 by
+    default in every recipe — drop_path=0.0, main_image.py:118)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# --- MLP ---------------------------------------------------------------------
+
+class Mlp(nn.Module):
+    """timm-style MLP: fc1 -> GELU -> drop -> fc2 -> drop."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_02, name="fc1")(x)
+        # torch nn.GELU defaults to the exact (erf) form.
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_02, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+# --- Attention ---------------------------------------------------------------
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference vision_transformer_IN21K.py:27-75).
+
+    Single fused qkv projection; softmax in fp32 (AMP parity).  Sequence
+    lengths here are tiny (197-1577 tokens) so XLA's fused attention is at
+    speed-of-light; a Pallas flash-attention kernel (ops/flash_attention.py)
+    can be enabled for the longer video/seg sequences.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_02, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [B, N, H, hd]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+        out = out.reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_02,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+# --- Adapter -----------------------------------------------------------------
+
+class Adapter(nn.Module):
+    """AdaptFormer-style parallel bottleneck adapter
+    (reference dynamic_adapter.py:80-140).
+
+    down(d_model -> bottleneck) -> ReLU -> dropout -> up -> * scale.
+    "lora" init: kaiming-uniform down kernel, zeros up kernel, zeros biases.
+    """
+
+    cfg: TuningConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 add_residual: bool = False) -> jax.Array:
+        cfg = self.cfg
+        residual = x
+        if cfg.ffn_adapter_layernorm_option == "in":
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(x)
+
+        if cfg.ffn_adapter_init_option == "lora":
+            down_kinit: Callable = torch_kaiming_uniform()
+            up_kinit: Callable = nn.initializers.zeros_init()
+        else:  # "bert"
+            down_kinit = trunc_normal_02
+            up_kinit = trunc_normal_02
+
+        down = nn.Dense(cfg.ffn_num, dtype=self.dtype, kernel_init=down_kinit,
+                        bias_init=nn.initializers.zeros_init(), name="down_proj")(x)
+        down = nn.relu(down)
+        down = nn.Dropout(cfg.dropout)(down, deterministic=deterministic)
+        up = nn.Dense(cfg.d_model, dtype=self.dtype, kernel_init=up_kinit,
+                      bias_init=nn.initializers.zeros_init(), name="up_proj")(down)
+
+        if cfg.ffn_adapter_scalar == "learnable_scalar":
+            scale = self.param("scale", nn.initializers.ones_init(), (1,), jnp.float32)
+            up = up * scale.astype(up.dtype)
+        else:
+            up = up * float(cfg.ffn_adapter_scalar)
+
+        if cfg.ffn_adapter_layernorm_option == "out":
+            up = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(up)
+
+        return up + residual if add_residual else up
+
+
+class MoEAdapter(nn.Module):
+    """MoE-enhanced adapter (paper feature, reference README.md:27; absent from
+    the reference code — implemented from the paper description).
+
+    N parallel bottleneck experts blended per-token by a softmax router.  The
+    experts are tiny (d_model x bottleneck), so instead of a dispatch we run
+    all experts as one batched einsum over a stacked [E, d, b] kernel and blend
+    with router weights — dense-MoE, exactly one big MXU-friendly contraction,
+    no load-balancing machinery needed.
+    """
+
+    cfg: TuningConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 add_residual: bool = False) -> jax.Array:
+        cfg = self.cfg
+        E, d, b = cfg.moe_experts, cfg.d_model, cfg.ffn_num
+        residual = x
+
+        # router: per-token softmax over experts
+        router_logits = nn.Dense(E, dtype=jnp.float32, use_bias=False,
+                                 kernel_init=nn.initializers.zeros_init(),
+                                 name="router")(x.astype(jnp.float32))
+        gates = jax.nn.softmax(router_logits / cfg.moe_router_tau, axis=-1)  # [..., E]
+
+        down_k = self.param("down_kernel", _stacked_kaiming(E), (E, d, b), jnp.float32)
+        down_b = self.param("down_bias", nn.initializers.zeros_init(), (E, b), jnp.float32)
+        up_k = self.param("up_kernel", nn.initializers.zeros_init(), (E, b, d), jnp.float32)
+        up_b = self.param("up_bias", nn.initializers.zeros_init(), (E, d), jnp.float32)
+
+        xc = x.astype(self.dtype)
+        h = jnp.einsum("...d,edb->...eb", xc, down_k.astype(self.dtype)) + down_b.astype(self.dtype)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        up = jnp.einsum("...eb,ebd->...ed", h, up_k.astype(self.dtype)) + up_b.astype(self.dtype)
+        out = jnp.einsum("...ed,...e->...d", up, gates.astype(self.dtype))
+
+        if cfg.ffn_adapter_scalar == "learnable_scalar":
+            scale = self.param("scale", nn.initializers.ones_init(), (1,), jnp.float32)
+            out = out * scale.astype(out.dtype)
+        else:
+            out = out * float(cfg.ffn_adapter_scalar)
+
+        return out + residual if add_residual else out
+
+
+def _stacked_kaiming(n_experts: int):
+    base = torch_kaiming_uniform()
+
+    def init(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, shape[0])
+        return jnp.stack([base(k, shape[1:], dtype) for k in keys])
+
+    return init
+
+
+def make_adapter(cfg: TuningConfig, dtype: Dtype, name: str = "adaptmlp") -> nn.Module:
+    if cfg.moe_experts and cfg.moe_experts > 1:
+        return MoEAdapter(cfg, dtype=dtype, name=name)
+    return Adapter(cfg, dtype=dtype, name=name)
+
+
+# --- TokenSelect --------------------------------------------------------------
+
+class TokenSelect(nn.Module):
+    """Per-block token router (reference dynamic_adapter.py:58-77).
+
+    A 1-unit linear head scores every non-CLS token; the Gumbel-sigmoid gate
+    decides MLP vs skip.  The CLS token is forced on by concatenating ones.
+    Needs the 'gate' RNG collection when ``training=True``.
+    """
+
+    tau: float = 5.0
+    is_hard: bool = True
+    threshold: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, training: bool = True
+                 ) -> Tuple[jax.Array, jax.Array]:
+        b = x.shape[0]
+        # fp32 head: the gate decision is tiny compute but precision-sensitive.
+        logits = nn.Dense(1, dtype=jnp.float32, kernel_init=trunc_normal_02,
+                          name="mlp_head")(x[:, 1:, :].astype(jnp.float32))
+        rng = self.make_rng("gate") if training else None
+        gate = gumbel_sigmoid(logits, rng, tau=self.tau, hard=self.is_hard,
+                              threshold=self.threshold, training=training)
+        cls_on = jnp.ones((b, 1, 1), gate.dtype)
+        return jnp.concatenate([cls_on, gate], axis=1), logits
+
+
+# --- Transformer block ---------------------------------------------------------
+
+class Block(nn.Module):
+    """DyT transformer block (reference vision_transformer_IN21K.py:88-165).
+
+    Pre-norm ViT block; attention always dense; router scores post-attention
+    activations; parallel adapter on all tokens; the MLP branch output is
+    mask-multiplied by the gate unless ``complete_model`` (teacher) is set.
+
+    Returns ``(x, gate, logits)``; gate/logits are None when ``select=False``.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    select: bool = True
+    tuning: TuningConfig = TuningConfig()
+    select_cfg: SelectConfig = SelectConfig()
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, training: bool = False,
+                 complete_model: bool = False
+                 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+        dim = x.shape[-1]
+        deterministic = not training
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
+                      self.proj_drop, dtype=self.dtype, name="attn")(
+                          h.astype(self.dtype), deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            h, deterministic=deterministic)
+
+        gate, logits = None, None
+        # Teacher (complete_model) pass: the reference still evaluates the
+        # router but discards its output (vision_transformer_IN21K.py:161);
+        # no gradient flows through it, so skipping it here is numerically
+        # identical and strictly cheaper.
+        if self.select and not complete_model:
+            gate, logits = TokenSelect(
+                tau=self.select_cfg.tau, is_hard=True,
+                threshold=self.select_cfg.threshold, dtype=self.dtype,
+                name="mlp_token_select")(x, training=training)
+
+        adapt_x = make_adapter(self.tuning, self.dtype)(
+            x.astype(self.dtype), deterministic=deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        mlp_x = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
+                    dtype=self.dtype, name="mlp")(
+                        h.astype(self.dtype), deterministic=deterministic)
+        mlp_x = DropPath(self.drop_path, name="drop_path2")(
+            mlp_x, deterministic=deterministic)
+
+        if gate is not None and not complete_model:
+            mlp_x = gate.astype(mlp_x.dtype) * mlp_x
+        x = x + mlp_x.astype(x.dtype) + adapt_x.astype(x.dtype)
+        return x, gate, logits

@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallel strategy is DDP data-parallelism over NCCL
+(main_image.py:280-282, misc.py:243).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis: the batch is sharded over it and
+XLA inserts the gradient all-reduce over ICI automatically under ``jit``.
+We additionally expose a ``model`` axis with megatron-style column/row param
+shardings for the ViT matmuls, so the same code scales tensor-parallel when a
+bigger backbone needs it (ViT-B itself runs DP-only, model_parallel=1).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Any
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# Megatron-style tensor-parallel rules for the ViT param tree.  Column-parallel
+# (shard output features) for qkv / mlp fc1 / adapter down; row-parallel (shard
+# input features) for proj / fc2 / adapter up; everything else replicated.
+_TP_RULES = [
+    (r".*attn.*qkv.*kernel", P(None, MODEL_AXIS)),
+    (r".*attn.*proj.*kernel", P(MODEL_AXIS, None)),
+    (r".*mlp.*fc1.*kernel", P(None, MODEL_AXIS)),
+    (r".*mlp.*fc2.*kernel", P(MODEL_AXIS, None)),
+    (r".*adaptmlp.*down_proj.*kernel", P(None, MODEL_AXIS)),
+    (r".*adaptmlp.*up_proj.*kernel", P(MODEL_AXIS, None)),
+    (r".*attn.*qkv.*bias", P(MODEL_AXIS)),
+    (r".*mlp.*fc1.*bias", P(MODEL_AXIS)),
+    (r".*adaptmlp.*down_proj.*bias", P(MODEL_AXIS)),
+]
+
+
+def param_spec(path: str, shape: tuple) -> P:
+    for pat, spec in _TP_RULES:
+        if re.fullmatch(pat, path):
+            # only shard when the dimension actually divides; tiny dims
+            # (bottleneck=8..64) may not — replicate those.
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Params) -> Params:
+    """NamedSharding tree matching the param tree."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def one(path, leaf):
+        pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = param_spec(pathstr, leaf.shape)
+        # validate divisibility; fall back to replication
+        for dim, axis in enumerate(spec):
+            if axis is not None and leaf.shape[dim] % tp != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch onto the mesh, sharded along the leading axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
