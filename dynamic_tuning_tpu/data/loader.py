@@ -1,0 +1,94 @@
+"""Batched prefetching data loader.
+
+Replaces torch DataLoader + DistributedSampler (reference main_image.py:169-183):
+  * train: per-epoch shuffled, per-process strided shard, drop-last;
+  * eval: rank-strided Subset semantics (main_image.py:178);
+  * a background thread pool decodes samples and a prefetch queue keeps the
+    device fed (the C++ native loader in ``native/`` drops in behind the same
+    interface for JPEG-heavy datasets).
+
+Batches are plain numpy (uint8 canvases + int32 labels); device placement and
+augmentation happen in the training step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0, num_workers: int = 4,
+                 prefetch: int = 4, process_index: int = 0,
+                 process_count: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle seed per epoch (DistributedSampler.set_epoch semantics,
+        reference main_image.py:328)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.ds)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self.epoch)
+            idx = rs.permutation(n)
+        else:
+            idx = np.arange(n)
+        # strided per-process shard (reference main_image.py:178)
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self._indices()
+        nb = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def make_batch(bidx):
+            samples = list(pool.map(self.ds.__getitem__, bidx))
+            imgs = np.stack([s[0] for s in samples])
+            labels = np.asarray([s[1] for s in samples], np.int32)
+            return imgs, labels
+
+        def producer():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(make_batch(b))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

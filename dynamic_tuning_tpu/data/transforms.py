@@ -1,0 +1,136 @@
+"""On-device JAX image augmentation.
+
+The reference runs all augmentation on CPU dataloader workers with
+PIL/torchvision (datasets/image_datasets.py:16-25: TPU-paper-style
+RandomResizedCrop(224) + horizontal flip + normalize; eval: Resize 256 +
+CenterCrop 224; VTAB no-aug: Resize((224,224)) both splits,
+image_datasets_noaug.py:16-23).
+
+TPU-native: the host only decodes to fixed-size uint8 canvases; every
+augmentation (crop sampling, resize, flip, normalize) runs vmapped inside the
+training jit on device — zero CPU aug bottleneck, and the RNG is a JAX key so
+runs are exactly reproducible regardless of host thread scheduling.
+
+RandomResizedCrop sampling follows the torchvision/TPU-paper algorithm the
+reference uses (util/crop.py:16-42): sample area fraction in [0.08, 1] and
+log-uniform aspect in [3/4, 4/3] (10 tries, fall back to center crop); the
+resize here is bilinear via one ``scale_and_translate`` per image.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+INCEPTION_MEAN = (0.5, 0.5, 0.5)
+INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def normalize(x: jax.Array, inception: bool = False) -> jax.Array:
+    """uint8 [0,255] -> normalized float32."""
+    mean = jnp.asarray(INCEPTION_MEAN if inception else IMAGENET_MEAN)
+    std = jnp.asarray(INCEPTION_STD if inception else IMAGENET_STD)
+    x = x.astype(jnp.float32) / 255.0
+    return (x - mean) / std
+
+
+def _sample_crop_box(rng: jax.Array, h: int, w: int,
+                     scale: Tuple[float, float] = (0.08, 1.0),
+                     ratio: Tuple[float, float] = (3 / 4, 4 / 3)):
+    """Sample (top, left, crop_h, crop_w) floats, RRC-style.
+
+    Static-shape version of the torchvision 10-try loop: draw 10 candidates,
+    take the first valid one, else fall back to a full center crop.
+    """
+    k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
+    n = 10
+    area = h * w
+    target_area = area * jax.random.uniform(k_area, (n,), minval=scale[0],
+                                            maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    cw = jnp.sqrt(target_area * aspect)
+    ch = jnp.sqrt(target_area / aspect)
+    valid = (cw <= w) & (ch <= h)
+    # first valid candidate (or fallback)
+    first = jnp.argmax(valid)
+    ok = valid.any()
+    cw = jnp.where(ok, cw[first], jnp.minimum(w, h) * 1.0)
+    ch = jnp.where(ok, ch[first], jnp.minimum(w, h) * 1.0)
+    top = jax.random.uniform(k_top) * (h - ch)
+    left = jax.random.uniform(k_left) * (w - cw)
+    return top, left, ch, cw
+
+
+def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
+    """Bilinear-resize the [top:top+ch, left:left+cw] box to out_size^2 with a
+    single fused scale_and_translate (no intermediate crop buffer)."""
+    scale_y = out_size / ch
+    scale_x = out_size / cw
+    # translation maps input coord `top` to output 0: out = in*scale + t
+    t_y = -top * scale_y
+    t_x = -left * scale_x
+    return jax.image.scale_and_translate(
+        img.astype(jnp.float32), (out_size, out_size, img.shape[-1]),
+        (0, 1), jnp.stack([scale_y, scale_x]), jnp.stack([t_y, t_x]),
+        method="bilinear")
+
+
+def random_resized_crop(rng: jax.Array, img: jax.Array, out_size: int = 224,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> jax.Array:
+    h, w = img.shape[0], img.shape[1]
+    top, left, ch, cw = _sample_crop_box(rng, h, w, scale, ratio)
+    return _resize_crop(img, top, left, ch, cw, out_size)
+
+
+def center_crop_resize(img: jax.Array, resize_to: int = 256,
+                       crop: int = 224) -> jax.Array:
+    """Eval transform: resize shorter side then center crop (reference
+    image_datasets.py:22-24)."""
+    h, w = img.shape[0], img.shape[1]
+    short = min(h, w)
+    scale = resize_to / short
+    nh, nw = h * scale, w * scale
+    top = (nh - crop) / 2.0
+    left = (nw - crop) / 2.0
+    return _resize_crop(img, top / scale, left / scale, crop / scale,
+                        crop / scale, crop)
+
+
+def hflip(rng: jax.Array, img: jax.Array) -> jax.Array:
+    return jnp.where(jax.random.bernoulli(rng), img[:, ::-1, :], img)
+
+
+@partial(jax.jit, static_argnames=("out_size", "inception", "train"))
+def augment_batch(rng: jax.Array, images: jax.Array, *, out_size: int = 224,
+                  inception: bool = False, train: bool = True) -> jax.Array:
+    """[B, H, W, C] uint8 canvases -> [B, out, out, C] normalized float32.
+
+    Train: per-image RandomResizedCrop + flip + normalize.
+    Eval: resize-256/center-crop-224 + normalize.
+    """
+    if train:
+        def one(r, img):
+            r1, r2 = jax.random.split(r)
+            out = random_resized_crop(r1, img, out_size)
+            return hflip(r2, out)
+
+        rngs = jax.random.split(rng, images.shape[0])
+        out = jax.vmap(one)(rngs, images)
+    else:
+        out = jax.vmap(lambda im: center_crop_resize(
+            im, resize_to=int(out_size * 256 / 224), crop=out_size))(images)
+    return normalize(out, inception)
+
+
+@partial(jax.jit, static_argnames=("inception",))
+def normalize_batch(images: jax.Array, inception: bool = False) -> jax.Array:
+    """VTAB no-aug path: canvases are already (224,224); just normalize
+    (reference image_datasets_noaug.py:16-23)."""
+    return normalize(images, inception)

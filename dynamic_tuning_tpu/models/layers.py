@@ -300,7 +300,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, training: bool = False,
-                 complete_model: bool = False
+                 complete_model: bool = False, dispatch: bool = False
                  ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
         dim = x.shape[-1]
         deterministic = not training
@@ -326,14 +326,38 @@ class Block(nn.Module):
         adapt_x = make_adapter(self.tuning, self.dtype)(
             x.astype(self.dtype), deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        mlp_x = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
-                    dtype=self.dtype, name="mlp")(
-                        h.astype(self.dtype), deterministic=deterministic)
-        mlp_x = DropPath(self.drop_path, name="drop_path2")(
-            mlp_x, deterministic=deterministic)
+        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
+        mlp = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
+                  dtype=self.dtype, name="mlp")
 
-        if gate is not None and not complete_model:
-            mlp_x = gate.astype(mlp_x.dtype) * mlp_x
+        if dispatch and gate is not None and not training:
+            # Efficient-inference path: capacity-bounded gather -> MLP on
+            # [B, K, C] -> scatter.  Real FLOPs savings with static shapes
+            # (TPU-native replacement of model_speed_test.py:243-310).
+            from dynamic_tuning_tpu.ops.dispatch import (
+                capacity_for, gather_tokens, scatter_tokens, select_topk)
+
+            B, N, _ = x.shape
+            ratio = (self.select_cfg.capacity_ratio
+                     if self.select_cfg.capacity_ratio is not None
+                     else self.select_cfg.token_target_ratio)
+            K = capacity_for(N - 1, ratio)
+            scores = jnp.concatenate(
+                [jnp.full((B, 1), jnp.inf, jnp.float32),
+                 jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))], axis=1)
+            idx, mask = select_topk(scores, K, self.select_cfg.threshold)
+            xg = gather_tokens(x, idx)
+            yg = mlp(norm2(xg).astype(self.dtype), deterministic=True)
+            mlp_x = scatter_tokens(x, idx, yg, mask)
+            # effective gate (what was actually computed), for accounting
+            gate = scatter_tokens(x[..., :1], idx,
+                                  jnp.ones_like(mask, x.dtype)[..., None], mask)
+        else:
+            mlp_x = mlp(norm2(x).astype(self.dtype), deterministic=deterministic)
+            mlp_x = DropPath(self.drop_path, name="drop_path2")(
+                mlp_x, deterministic=deterministic)
+            if gate is not None and not complete_model:
+                mlp_x = gate.astype(mlp_x.dtype) * mlp_x
+
         x = x + mlp_x.astype(x.dtype) + adapt_x.astype(x.dtype)
         return x, gate, logits

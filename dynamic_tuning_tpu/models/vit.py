@@ -53,7 +53,7 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, training: bool = False,
-                 complete_model: bool = False
+                 complete_model: bool = False, dispatch: bool = False
                  ) -> Tuple[jax.Array, Dict[str, Optional[jax.Array]]]:
         cfg = self.cfg
         B = x.shape[0]
@@ -86,7 +86,8 @@ class VisionTransformer(nn.Module):
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
                 name=f"blocks_{i}")(x, training=training,
-                                    complete_model=complete_model)
+                                    complete_model=complete_model,
+                                    dispatch=dispatch)
             if gate is not None:
                 gates.append(gate)
                 logits_all.append(logits)

@@ -89,3 +89,36 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch onto the mesh, sharded along the leading axis."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _path_to_spec(mesh: Mesh, path, shape) -> P:
+    """Derive a PartitionSpec for any TrainState leaf from its pytree path.
+
+    Param leaves live under flat-dict keys that are *tuples* of names
+    (trainable/frozen and the optimizer's mu/nu mirrors); everything else
+    (step counts, rng) is replicated."""
+    tp = mesh.shape[MODEL_AXIS]
+    for k in path:
+        key = getattr(k, "key", None)
+        if isinstance(key, tuple):
+            spec = param_spec("/".join(str(x) for x in key), shape)
+            for dim, axis in enumerate(spec):
+                if axis is not None and (dim >= len(shape) or shape[dim] % tp != 0):
+                    return P()
+            return spec
+    return P()
+
+
+def state_shardings(mesh: Mesh, state_shape) -> Any:
+    """Sharding pytree matching a TrainState (from jax.eval_shape)."""
+
+    def one(path, leaf):
+        return NamedSharding(mesh, _path_to_spec(mesh, path, leaf.shape))
+
+    return jax.tree_util.tree_map_with_path(one, state_shape)
+
+
+def shard_state(mesh: Mesh, state) -> Any:
+    """Place an already-materialized TrainState onto the mesh."""
+    shardings = state_shardings(mesh, jax.eval_shape(lambda: state))
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)

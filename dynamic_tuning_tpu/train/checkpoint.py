@@ -1,0 +1,249 @@
+"""Checkpoint IO: timm ``.pth`` import + native save/resume.
+
+Reference behavior:
+  * Pretrained load with head-surgery (shape-mismatched ``head.*`` removed),
+    ``pre_logits`` removal, strict=False; the *missing* keys define which
+    params stay trainable (main_image.py:219-256).
+  * Save {model, optimizer, epoch, scaler, args} per epoch / on best metric,
+    rank-0 only, with ``auto_remove`` pruning (misc.py:296-352); final weights
+    as ``final_checkpoint.pth`` (main_image.py:357-358).
+
+TPU-native: our format is msgpack pytrees (flax.serialization) — no pickle,
+host-portable, restores under any mesh because params are replicated/resharded
+at load.  torch is used only to *read* legacy ``.pth`` files on CPU.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, traverse_util
+
+from dynamic_tuning_tpu.utils.pos_embed import interpolate_pos_embed
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# timm / torch .pth import
+# ---------------------------------------------------------------------------
+
+def _torch_key_to_flax(key: str) -> Optional[Tuple[str, ...]]:
+    """Map a timm ViT state-dict key to our flax param path.
+
+    Layout notes: torch Linear weights are [out, in] -> flax kernels [in, out]
+    (transpose); torch conv weights are OIHW -> flax HWIO.
+    """
+    if key.startswith("pre_logits."):
+        return None  # dropped (main_image.py:237-240)
+    k = key
+    m = re.match(r"blocks\.(\d+)\.(.*)", k)
+    prefix: Tuple[str, ...] = ()
+    if m:
+        prefix = (f"blocks_{m.group(1)}",)
+        k = m.group(2)
+
+    table = {
+        "cls_token": ("cls_token",),
+        "pos_embed": ("pos_embed",),
+        "patch_embed.proj.weight": ("patch_embed", "proj", "kernel"),
+        "patch_embed.proj.bias": ("patch_embed", "proj", "bias"),
+        "norm.weight": ("norm", "scale"),
+        "norm.bias": ("norm", "bias"),
+        "head.weight": ("head", "kernel"),
+        "head.bias": ("head", "bias"),
+        # inside a block:
+        "norm1.weight": ("norm1", "scale"),
+        "norm1.bias": ("norm1", "bias"),
+        "norm2.weight": ("norm2", "scale"),
+        "norm2.bias": ("norm2", "bias"),
+        "attn.qkv.weight": ("attn", "qkv", "kernel"),
+        "attn.qkv.bias": ("attn", "qkv", "bias"),
+        "attn.proj.weight": ("attn", "proj", "kernel"),
+        "attn.proj.bias": ("attn", "proj", "bias"),
+        "mlp.fc1.weight": ("mlp", "fc1", "kernel"),
+        "mlp.fc1.bias": ("mlp", "fc1", "bias"),
+        "mlp.fc2.weight": ("mlp", "fc2", "kernel"),
+        "mlp.fc2.bias": ("mlp", "fc2", "bias"),
+        # DyT params (present when importing a reference-finetuned ckpt):
+        "adaptmlp.down_proj.weight": ("adaptmlp", "down_proj", "kernel"),
+        "adaptmlp.down_proj.bias": ("adaptmlp", "down_proj", "bias"),
+        "adaptmlp.up_proj.weight": ("adaptmlp", "up_proj", "kernel"),
+        "adaptmlp.up_proj.bias": ("adaptmlp", "up_proj", "bias"),
+        "mlp_token_select.mlp_head.weight": ("mlp_token_select", "mlp_head", "kernel"),
+        "mlp_token_select.mlp_head.bias": ("mlp_token_select", "mlp_head", "bias"),
+    }
+    if k in table:
+        return prefix + table[k]
+    return ("__unexpected__", key)
+
+
+def _convert_tensor(path: Tuple[str, ...], w: np.ndarray) -> np.ndarray:
+    if path[-1] == "kernel":
+        if w.ndim == 2:
+            return np.ascontiguousarray(w.T)            # [out,in] -> [in,out]
+        if w.ndim == 4:
+            return np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # OIHW->HWIO
+    if path[0] == "cls_token" or path[0] == "pos_embed":
+        return w
+    return w
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch  # CPU-only reader for legacy checkpoints
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def import_pretrained(params: Params, state_dict: Dict[str, np.ndarray],
+                      logger=None, num_prefix_tokens: int = 1
+                      ) -> Tuple[Params, List[Tuple[str, ...]]]:
+    """Merge a torch/timm state dict into a flax param tree.
+
+    Performs head surgery (shape-mismatched head removed, reference
+    main_image.py:230-235), pre_logits removal, and pos-embed grid
+    interpolation.  Returns (new_params, missing_keys) where missing_keys are
+    the flax paths NOT found in the checkpoint — the reference's freeze rule
+    keeps exactly those trainable (main_image.py:249-256).
+    """
+    log = logger.info if logger else print
+    flat = traverse_util.flatten_dict(params)
+    new_flat = dict(flat)
+    loaded = set()
+    unexpected = []
+
+    for tkey, w in state_dict.items():
+        path = _torch_key_to_flax(tkey)
+        if path is None:
+            log(f"Removing key {tkey} from pretrained checkpoint (pre_logits)")
+            continue
+        if path[0] == "__unexpected__" or path not in flat:
+            unexpected.append(tkey)
+            continue
+        w = _convert_tensor(path, np.asarray(w))
+        target_shape = flat[path].shape
+        if path == ("pos_embed",) and w.shape != target_shape:
+            log(f"Interpolating pos_embed {w.shape} -> {target_shape}")
+            w = interpolate_pos_embed(w, target_shape[1] - num_prefix_tokens,
+                                      num_prefix_tokens)
+        if w.shape != tuple(target_shape):
+            if path[0] == "head":
+                log(f"Removing key {tkey} from pretrained checkpoint "
+                    f"(shape {w.shape} != {tuple(target_shape)})")
+                continue
+            raise ValueError(f"shape mismatch for {path}: ckpt {w.shape} "
+                             f"vs model {tuple(target_shape)}")
+        new_flat[path] = jnp.asarray(w, dtype=flat[path].dtype)
+        loaded.add(path)
+
+    missing = [p for p in flat if p not in loaded]
+    if unexpected:
+        log(f"unexpected keys (ignored): {unexpected[:8]}"
+            + (" ..." if len(unexpected) > 8 else ""))
+    log(f"loaded {len(loaded)} tensors; {len(missing)} missing "
+        f"(stay trainable): {sorted({p[-2] for p in missing if len(p) > 1})}")
+    return traverse_util.unflatten_dict(new_flat), missing
+
+
+def reinit_head(params: Params, rng: jax.Array, std: float = 0.01) -> Params:
+    """trunc_normal_(head.weight, std=0.01) after pretrained load
+    (reference main_image.py:247)."""
+    flat = traverse_util.flatten_dict(params)
+    k = ("head", "kernel")
+    if k in flat:
+        flat[k] = std * jax.random.truncated_normal(
+            rng, -2.0, 2.0, flat[k].shape, jnp.float32)
+        flat[("head", "bias")] = jnp.zeros_like(flat[("head", "bias")])
+    return traverse_util.unflatten_dict(flat)
+
+
+# ---------------------------------------------------------------------------
+# native save / resume (msgpack pytrees)
+# ---------------------------------------------------------------------------
+
+def _to_pure(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(output_dir: str, state, epoch: int, *,
+                    tag: Optional[str] = None, extra: Optional[dict] = None,
+                    auto_remove: bool = False, is_main: bool = True) -> str:
+    """Write {trainable, frozen, opt_state, step, epoch} as one msgpack blob.
+
+    Mirrors misc.save_model (misc.py:296-311) incl. auto_remove pruning
+    (misc.py:316-329).  Only the main process writes.
+    """
+    if not is_main:
+        return ""
+    os.makedirs(output_dir, exist_ok=True)
+    name = tag or f"checkpoint-{epoch}"
+    path = os.path.join(output_dir, f"{name}.msgpack")
+    payload = {
+        "trainable": _nested(_to_pure(state.trainable)),
+        "frozen": _nested(_to_pure(state.frozen)),
+        "opt_state": serialization.to_state_dict(_to_pure(state.opt_state)),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    if auto_remove and tag is None:
+        for old in sorted(glob.glob(os.path.join(output_dir, "checkpoint-*.msgpack"))):
+            m = re.search(r"checkpoint-(\d+)\.msgpack$", old)
+            if m and int(m.group(1)) < epoch:
+                os.remove(old)
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Restore a TrainState saved by save_checkpoint (reference
+    misc.load_model, misc.py:332-352: restores optimizer/epoch too)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    trainable = _flat(payload["trainable"])
+    frozen = _flat(payload["frozen"])
+    opt_state = serialization.from_state_dict(state.opt_state, payload["opt_state"])
+    new_state = state._replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        trainable={k: jnp.asarray(v) for k, v in trainable.items()},
+        frozen={k: jnp.asarray(v) for k, v in frozen.items()},
+        opt_state=jax.tree_util.tree_map(jnp.asarray, opt_state),
+    )
+    return new_state, int(payload["epoch"]), payload.get("extra", {})
+
+
+def save_params(path: str, params: Params):
+    """Final weights export (reference final_checkpoint.pth,
+    main_image.py:357-358)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(_nested(_to_pure(params))))
+
+
+def load_params(path: str) -> Params:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _nested(flat_or_tree):
+    if isinstance(flat_or_tree, dict) and flat_or_tree and \
+            isinstance(next(iter(flat_or_tree)), tuple):
+        return traverse_util.unflatten_dict(flat_or_tree)
+    return flat_or_tree
+
+
+def _flat(tree):
+    if isinstance(tree, dict):
+        flat = traverse_util.flatten_dict(tree)
+        return flat
+    return tree

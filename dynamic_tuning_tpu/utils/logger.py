@@ -1,0 +1,53 @@
+"""Process-aware console + file logger (reference util/logger.py:9-34:
+colored console on rank 0, per-rank ``log_rank{N}.txt`` files)."""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import sys
+
+
+@functools.lru_cache()
+def create_logger(output_dir: str = "", dist_rank: int = 0,
+                  name: str = "dyt") -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+
+    fmt = "[%(asctime)s %(name)s] (%(filename)s %(lineno)d): %(levelname)s %(message)s"
+
+    if dist_rank == 0:
+        console = logging.StreamHandler(sys.stdout)
+        console.setLevel(logging.DEBUG)
+        console.setFormatter(logging.Formatter(fmt, datefmt="%Y-%m-%d %H:%M:%S"))
+        logger.addHandler(console)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(output_dir, f"log_rank{dist_rank}.txt"),
+                                 mode="a")
+        fh.setLevel(logging.DEBUG)
+        fh.setFormatter(logging.Formatter(fmt, datefmt="%Y-%m-%d %H:%M:%S"))
+        logger.addHandler(fh)
+
+    return logger
+
+
+class TensorBoardWriter:
+    """Minimal scalar logger writing TSV (tensorboard isn't baked into this
+    image).  Mirrors the reference's rank-0 SummaryWriter usage
+    (engine_finetune.py:95-101) with the same epoch_1000x axis convention."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "scalars.tsv")
+        self._fh = open(self.path, "a")
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self._fh.write(f"{tag}\t{step}\t{value}\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()

@@ -1,0 +1,95 @@
+"""Data pipeline tests: on-device augmentation + loader sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.data.datasets import SyntheticDataset, build_image_dataset
+from dynamic_tuning_tpu.data.loader import DataLoader
+from dynamic_tuning_tpu.data import transforms as T
+
+
+def test_synthetic_builder():
+    tr, va, nc, metric = build_image_dataset("synthetic", "")
+    assert nc == 100 and metric == "accuracy"
+    img, lab = tr[0]
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    assert 0 <= lab < nc
+
+
+def test_loader_batches_and_sharding():
+    ds = SyntheticDataset(n=100, size=32, num_classes=10)
+    dl = DataLoader(ds, batch_size=16, shuffle=True, drop_last=True,
+                    num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 6 == len(dl)
+    imgs, labels = batches[0]
+    assert imgs.shape == (16, 32, 32, 3) and labels.shape == (16,)
+
+    # two-process strided shard covers the dataset disjointly
+    d0 = DataLoader(ds, batch_size=16, process_index=0, process_count=2)
+    d1 = DataLoader(ds, batch_size=16, process_index=1, process_count=2)
+    i0 = d0._indices()
+    i1 = d1._indices()
+    assert len(set(i0) & set(i1)) == 0
+    assert len(i0) + len(i1) == 100
+
+
+def test_loader_epoch_reshuffle():
+    ds = SyntheticDataset(n=64, size=8, num_classes=10)
+    dl = DataLoader(ds, batch_size=64, shuffle=True)
+    dl.set_epoch(0)
+    a = dl._indices().copy()
+    dl.set_epoch(1)
+    b = dl._indices().copy()
+    assert not np.array_equal(a, b)
+    dl.set_epoch(0)
+    np.testing.assert_array_equal(a, dl._indices())
+
+
+def test_augment_batch_shapes_and_range():
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.randint(0, 256, (4, 256, 256, 3), np.uint8))
+    out = T.augment_batch(rng, imgs, out_size=224, train=True)
+    assert out.shape == (4, 224, 224, 3) and out.dtype == jnp.float32
+    # normalized range sanity (imagenet stats)
+    assert float(out.min()) > -3.0 and float(out.max()) < 3.0
+
+
+def test_augment_train_is_stochastic_eval_deterministic():
+    imgs = jnp.asarray(np.random.randint(0, 256, (2, 256, 256, 3), np.uint8))
+    a = T.augment_batch(jax.random.PRNGKey(0), imgs, train=True)
+    b = T.augment_batch(jax.random.PRNGKey(1), imgs, train=True)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    e1 = T.augment_batch(jax.random.PRNGKey(0), imgs, train=False)
+    e2 = T.augment_batch(jax.random.PRNGKey(1), imgs, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_center_crop_resize_geometry():
+    # a 256x256 canvas with a distinctive center: eval crop keeps the center
+    img = np.zeros((256, 256, 3), np.uint8)
+    img[112:144, 112:144] = 255
+    out = T.center_crop_resize(jnp.asarray(img), 256, 224)
+    assert out.shape == (224, 224, 3)
+    assert float(out[112, 112, 0]) > 200.0      # center stays bright
+    assert float(out[5, 5, 0]) < 10.0
+
+
+def test_normalize_inception_vs_imagenet():
+    x = jnp.full((1, 2, 2, 3), 128, jnp.uint8)
+    inc = T.normalize(x, inception=True)
+    np.testing.assert_allclose(np.asarray(inc), (128 / 255 - 0.5) / 0.5,
+                               rtol=1e-4, atol=1e-6)
+    imnet = T.normalize(x, inception=False)
+    assert not np.allclose(np.asarray(inc), np.asarray(imnet))
+
+
+def test_random_resized_crop_covers_full_image_when_scale_1():
+    rng = jax.random.PRNGKey(0)
+    img = jnp.asarray(np.random.randint(0, 256, (64, 64, 3), np.uint8))
+    out = T.random_resized_crop(rng, img, 32, scale=(1.0, 1.0),
+                                ratio=(1.0, 1.0))
+    ref = jax.image.resize(img.astype(jnp.float32), (32, 32, 3), "bilinear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
