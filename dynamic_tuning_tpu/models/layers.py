@@ -167,7 +167,9 @@ class Adapter(nn.Module):
                         bias_init=nn.initializers.zeros_init(), name="down_proj")(x)
         down = nn.relu(down)
         down = nn.Dropout(cfg.dropout)(down, deterministic=deterministic)
-        up = nn.Dense(cfg.d_model, dtype=self.dtype, kernel_init=up_kinit,
+        # up-projection width comes from the residual stream, not the config —
+        # the adapter must map back to whatever embed_dim the model uses.
+        up = nn.Dense(residual.shape[-1], dtype=self.dtype, kernel_init=up_kinit,
                       bias_init=nn.initializers.zeros_init(), name="up_proj")(down)
 
         if cfg.ffn_adapter_scalar == "learnable_scalar":
@@ -200,7 +202,7 @@ class MoEAdapter(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
                  add_residual: bool = False) -> jax.Array:
         cfg = self.cfg
-        E, d, b = cfg.moe_experts, cfg.d_model, cfg.ffn_num
+        E, d, b = cfg.moe_experts, x.shape[-1], cfg.ffn_num
         residual = x
 
         # router: per-token softmax over experts

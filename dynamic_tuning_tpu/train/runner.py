@@ -1,0 +1,233 @@
+"""High-level training runner: wires config -> data -> model -> engine.
+
+The reference spreads this across main_image.py:134-359 and
+engine_finetune.py.  One runner serves all image entry points (full datasets
+and VTAB); video and segmentation have their own thin variants.
+
+TPU-native notes:
+  * the device loop is: host loader yields uint8 canvases -> on-device
+    augmentation -> jitted train step (student+teacher+loss+opt in one XLA
+    program) — the only host<->device traffic is the raw uint8 batch;
+  * eval gathers logits on device, computes metrics on host; FLOPs accounting
+    uses the analytic table (reference reports it for video only,
+    engine_finetune.py:341-352 — we report for both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_tuning_tpu.config import RunConfig
+from dynamic_tuning_tpu.data.datasets import build_image_dataset
+from dynamic_tuning_tpu.data.loader import DataLoader
+from dynamic_tuning_tpu.data.transforms import augment_batch, normalize_batch
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+from dynamic_tuning_tpu.ops.flops import batch_select_flops, dense_vit_flops
+from dynamic_tuning_tpu.parallel import mesh as M
+from dynamic_tuning_tpu.train import checkpoint as C
+from dynamic_tuning_tpu.train.engine import (TrainState, create_train_state,
+                                             make_eval_step, make_train_step,
+                                             model_apply_fn)
+from dynamic_tuning_tpu.train.optim import (count_params, make_optimizer,
+                                            partition_params)
+from dynamic_tuning_tpu.utils.logger import TensorBoardWriter, create_logger
+from dynamic_tuning_tpu.utils.meters import MetricLogger
+from dynamic_tuning_tpu.utils.metrics import mean_per_class_accuracy, topk_accuracy
+
+
+class Runner:
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        self.logger = create_logger(cfg.output_dir, jax.process_index())
+        self.writer = (TensorBoardWriter(cfg.output_dir)
+                       if jax.process_index() == 0 else None)
+        self.mesh = M.make_mesh(cfg.mesh.model_parallel)
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        # data -------------------------------------------------------------
+        train_ds, val_ds, nb_classes, metric = build_image_dataset(
+            cfg.data.dataset, cfg.data.data_path, no_aug=cfg.data.no_aug)
+        self.metric_name = metric
+        self.nb_classes = nb_classes
+        self.train_loader = DataLoader(
+            train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
+            seed=cfg.seed, num_workers=cfg.data.num_workers,
+            process_index=jax.process_index(), process_count=jax.process_count())
+        self.val_loader = DataLoader(
+            val_ds, cfg.data.batch_size, shuffle=False,
+            num_workers=cfg.data.num_workers,
+            process_index=jax.process_index(), process_count=jax.process_count())
+
+        # model ------------------------------------------------------------
+        model_cfg = cfg.model if cfg.model.num_classes == nb_classes else \
+            cfg.model.__class__(**{**cfg.model.__dict__, "num_classes": nb_classes})
+        self.model = VisionTransformer(model_cfg, tuning=cfg.tuning,
+                                       select=cfg.select, dtype=self.dtype)
+        self.model_cfg = model_cfg
+        self.apply_fn = model_apply_fn(self.model)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = jnp.zeros((2, model_cfg.img_size, model_cfg.img_size, 3))
+        params = self.model.init(rng, sample)["params"]
+
+        # pretrained import + freeze-by-missing (main_image.py:219-256) -----
+        if cfg.finetune:
+            sd = C.load_torch_state_dict(cfg.finetune) \
+                if cfg.finetune.endswith((".pth", ".pt")) else C.load_params(cfg.finetune)
+            if cfg.finetune.endswith((".pth", ".pt")):
+                params, missing = C.import_pretrained(params, sd, self.logger)
+            else:
+                params = sd
+            params = C.reinit_head(params, jax.random.fold_in(rng, 1))
+
+        trainable, frozen = partition_params(params)
+        self.logger.info(
+            f"trainable params (M): {count_params(trainable) / 1e6:.2f}; "
+            f"frozen (M): {count_params(frozen, exclude_head=False) / 1e6:.2f}")
+
+        # optimizer ----------------------------------------------------------
+        eff_batch = cfg.data.batch_size * cfg.accum_iter * jax.process_count()
+        lr = cfg.optim.absolute_lr(eff_batch)
+        self.logger.info(f"effective batch {eff_batch}; actual lr {lr:.2e}")
+        self.steps_per_epoch = len(self.train_loader)
+        self.tx = make_optimizer(
+            lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
+            warmup_epochs=cfg.optim.warmup_epochs,
+            steps_per_epoch=max(self.steps_per_epoch, 1),
+            weight_decay=cfg.optim.weight_decay, betas=cfg.optim.betas,
+            clip_grad=cfg.optim.clip_grad)
+
+        state = create_train_state(trainable, frozen, self.tx,
+                                   jax.random.fold_in(rng, 2))
+        self.state = M.shard_state(self.mesh, state)
+
+        self.start_epoch = 0
+        if cfg.resume:
+            self.state, last_epoch, _ = C.load_checkpoint(cfg.resume, self.state)
+            self.state = M.shard_state(self.mesh, self.state)
+            self.start_epoch = last_epoch + 1
+            self.logger.info(f"resumed from {cfg.resume} at epoch {self.start_epoch}")
+
+        self.train_step = jax.jit(
+            make_train_step(self.apply_fn, self.tx, cfg.select),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(make_eval_step(self.apply_fn))
+        self.aug_rng = jax.random.fold_in(rng, 3)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, imgs: np.ndarray, labels: np.ndarray,
+                      train: bool) -> Tuple[jax.Array, jax.Array]:
+        imgs = jnp.asarray(imgs)
+        if self.cfg.data.no_aug:
+            s = self.model_cfg.img_size
+            if imgs.shape[1] != s:   # canvas != model resolution: resize
+                imgs = jax.image.resize(
+                    imgs.astype(jnp.float32),
+                    (imgs.shape[0], s, s, imgs.shape[-1]), "bilinear")
+            xb = normalize_batch(imgs, self.cfg.data.inception_norm)
+        else:
+            if train:
+                self.aug_rng, k = jax.random.split(self.aug_rng)
+            else:
+                k = jax.random.PRNGKey(0)
+            xb = augment_batch(k, imgs, out_size=self.model_cfg.img_size,
+                               inception=self.cfg.data.inception_norm,
+                               train=train)
+        return M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        ml = MetricLogger(logger=self.logger)
+        header = f"Epoch: [{epoch}]"
+        for imgs, labels in ml.log_every(self.train_loader, 20, header):
+            xb, yb = self._device_batch(imgs, labels, train=True)
+            self.state, parts = self.train_step(self.state, xb, yb)
+            ml.update(**{k: float(v) for k, v in parts.items()})
+            if self.writer is not None:
+                step = int(self.state.step)
+                if step % 20 == 0:
+                    e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
+                    self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+        return {k: m.global_avg for k, m in ml.meters.items()}
+
+    def evaluate(self) -> Dict[str, float]:
+        all_logits, all_labels = [], []
+        keep_sum, keep_n = 0.0, 0
+        gflops_sum, gflops_n = 0.0, 0
+        for imgs, labels in self.val_loader:
+            xb, yb = self._device_batch(imgs, labels, train=False)
+            logits, token_select = self.eval_step(
+                self.state.trainable, self.state.frozen, xb)
+            all_logits.append(np.asarray(logits))
+            all_labels.append(np.asarray(yb))
+            if token_select is not None:
+                ts = np.asarray(token_select)
+                keep_sum += ts.sum()
+                keep_n += ts.size
+                g = batch_select_flops(
+                    ts, T=self.model_cfg.seq_len, dim=self.model_cfg.embed_dim,
+                    mlp_ratio=self.model_cfg.mlp_ratio,
+                    bottleneck=self.cfg.tuning.ffn_num,
+                    num_classes=self.nb_classes,
+                    depth=self.model_cfg.depth)
+                gflops_sum += g.sum()
+                gflops_n += len(g)
+        logits = np.concatenate(all_logits)
+        labels = np.concatenate(all_labels)
+        if jax.process_count() > 1:  # cross-host eval concat
+            from jax.experimental import multihost_utils
+            logits = multihost_utils.process_allgather(logits)
+            labels = multihost_utils.process_allgather(labels)
+            logits = logits.reshape(-1, logits.shape[-1])
+            labels = labels.reshape(-1)
+        acc1, acc5 = topk_accuracy(jnp.asarray(logits), jnp.asarray(labels),
+                                   (1, min(5, self.nb_classes)))
+        stats = {"acc1": acc1, "acc5": acc5}
+        stats["metric"] = (mean_per_class_accuracy(jnp.asarray(logits),
+                                                   labels, self.nb_classes)
+                           if self.metric_name == "mean_per_class_acc" else acc1)
+        if keep_n:
+            stats["keep_ratio"] = keep_sum / keep_n
+            gf = gflops_sum / max(gflops_n, 1)
+            dense = dense_vit_flops(self.model_cfg.seq_len,
+                                    self.model_cfg.depth,
+                                    self.model_cfg.embed_dim,
+                                    self.model_cfg.mlp_ratio, self.nb_classes)
+            stats["gflops"] = gf
+            stats["flops_ratio_vs_dense"] = gf / dense
+            self.logger.info(f"eval GFLOPs/sample {gf:.2f} "
+                             f"({100 * gf / dense:.1f}% of dense)")
+        self.logger.info(f"eval: {json.dumps({k: round(float(v), 4) for k, v in stats.items()})}")
+        return stats
+
+    def run(self) -> Dict[str, float]:
+        cfg = self.cfg
+        max_metric = 0.0
+        t0 = time.time()
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
+            train_stats = self.train_one_epoch(epoch)
+            self.logger.info(f"epoch {epoch} train: " + json.dumps(
+                {k: round(v, 4) for k, v in train_stats.items()}))
+            if (epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.optim.epochs:
+                stats = self.evaluate()
+                if cfg.output_dir and stats["metric"] >= max_metric:
+                    C.save_checkpoint(cfg.output_dir, self.state, epoch,
+                                      extra={"metric": stats["metric"]},
+                                      auto_remove=True,
+                                      is_main=jax.process_index() == 0)
+                max_metric = max(max_metric, stats["metric"])
+                self.logger.info(f"Max metric: {max_metric:.2f}%")
+        if cfg.output_dir and jax.process_index() == 0:
+            from dynamic_tuning_tpu.train.optim import merge_params
+            C.save_params(os.path.join(cfg.output_dir, "final_checkpoint.msgpack"),
+                          merge_params(self.state.trainable, self.state.frozen))
+        self.logger.info(f"Training time {time.time() - t0:.0f}s; "
+                         f"max metric {max_metric:.2f}")
+        return {"max_metric": max_metric}

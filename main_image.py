@@ -1,0 +1,35 @@
+"""Image-classification fine-tuning entry point (full datasets).
+
+TPU-native counterpart of the reference main_image.py (same flag surface,
+same recipe defaults: train_IN21K.sh — blr 1e-3, wd 0.01, 100 epochs,
+warmup 20, batch 128/process).  Single program, SPMD over all local devices;
+no torch.distributed launcher needed.
+"""
+
+import argparse
+
+from dynamic_tuning_tpu.cli import add_common_args, args_to_config
+from dynamic_tuning_tpu.train.runner import Runner
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("DyT image fine-tuning", add_help=False)
+    return add_common_args(parser)
+
+
+def main(args):
+    cfg = args_to_config(args)
+    runner = Runner(cfg)
+    if args.eval:
+        if args.eval_ckpt:
+            from dynamic_tuning_tpu.train import checkpoint as C
+            runner.state, _, _ = C.load_checkpoint(args.eval_ckpt, runner.state)
+        stats = runner.evaluate()
+        print(f"Accuracy on the val set: {stats['acc1']:.1f}%")
+        return stats
+    return runner.run()
+
+
+if __name__ == "__main__":
+    args = get_args_parser().parse_args()
+    main(args)

@@ -1,0 +1,48 @@
+"""VTAB-1K fine-tuning entry point.
+
+Mirrors the reference main_vtab.py recipe (main_vtab.py:269,350-352 /
+train_vtab.sh): lr 1e-3 absolute, weight_decay 1e-4, 100 epochs, warmup 10,
+ffn_num 16, adapter scale 1.0, batch 64, no augmentation.  One process per
+task; sweep all 19 tasks with --task all.
+"""
+
+import argparse
+import json
+
+from dynamic_tuning_tpu.cli import add_common_args, args_to_config
+from dynamic_tuning_tpu.data.vtab import VTAB_TASKS
+from dynamic_tuning_tpu.train.runner import Runner
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("DyT VTAB-1K fine-tuning", add_help=False)
+    parser = add_common_args(parser)
+    parser.set_defaults(lr=1e-3, weight_decay=1e-4, warmup_epochs=10,
+                        batch_size=64, ffn_num=16, adapter_scalar="1.0")
+    parser.add_argument("--task", default="cifar_vtab",
+                        help="VTAB task name, or 'all' for the 19-task sweep")
+    return parser
+
+
+def run_task(args, task: str):
+    args.dataset = task
+    cfg = args_to_config(args, no_aug=True)
+    cfg = cfg.replace(output_dir=f"{args.output_dir}/{task}")
+    runner = Runner(cfg)
+    if args.eval:
+        return runner.evaluate()
+    return runner.run()
+
+
+def main(args):
+    tasks = list(VTAB_TASKS) if args.task == "all" else [args.task]
+    results = {}
+    for task in tasks:
+        results[task] = run_task(args, task)
+    print(json.dumps({t: r.get("max_metric", r.get("metric"))
+                      for t, r in results.items()}, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

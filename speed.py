@@ -1,0 +1,75 @@
+"""Throughput measurement harness.
+
+Reference protocol (speed.py:247-275): batch 128, mixed precision, warmup
+iterations then timed iterations with device fencing; prints img/s.  Here the
+efficient-inference model is the capacity-bounded dispatch path
+(ops/dispatch.py) instead of the reference's dynamic nonzero gather.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+from dynamic_tuning_tpu.train import checkpoint as C
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DyT speed test", add_help=False)
+    p.add_argument("--batch_size", default=128, type=int)
+    p.add_argument("--nb_classes", default=100, type=int)
+    p.add_argument("--ffn_num", default=64, type=int)
+    p.add_argument("--token_target_ratio", type=float, default=0.5)
+    p.add_argument("--capacity_ratio", type=float, default=None)
+    p.add_argument("--mode", default="dispatch",
+                   choices=["dispatch", "mask", "dense"])
+    p.add_argument("--ckpt", default="", help="optional trained .msgpack/.pth")
+    p.add_argument("--warmup", default=5, type=int)
+    p.add_argument("--iters", default=15, type=int)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def main(args):
+    sel = SelectConfig(token_target_ratio=args.token_target_ratio,
+                       capacity_ratio=args.capacity_ratio)
+    model = VisionTransformer(
+        ModelConfig(num_classes=args.nb_classes),
+        tuning=TuningConfig(ffn_num=args.ffn_num), select=sel,
+        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (args.batch_size, 224, 224, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
+    if args.ckpt:
+        if args.ckpt.endswith((".pth", ".pt")):
+            params, _ = C.import_pretrained(params, C.load_torch_state_dict(args.ckpt))
+        else:
+            params = C.load_params(args.ckpt)
+
+    @jax.jit
+    def fwd(p, xx):
+        logits, _ = model.apply({"params": p}, xx,
+                                complete_model=(args.mode == "dense"),
+                                dispatch=(args.mode == "dispatch"))
+        return logits.sum()
+
+    for _ in range(args.warmup):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        _ = float(fwd(params, x))   # hard per-iteration fence
+    dt = time.perf_counter() - t0
+    ips = args.batch_size * args.iters / dt
+    print(json.dumps({"mode": args.mode, "throughput_img_s": round(ips, 2),
+                      "batch_size": args.batch_size}))
+    return ips
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
