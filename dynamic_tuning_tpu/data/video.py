@@ -1,0 +1,222 @@
+"""Video datasets: K400/SSv2-style mp4 lists, frame sampling, multi-view eval.
+
+Reference behavior (video_datasets/k400.py, sthv2_dataset.py,
+video_datasets.py):
+  * csv list `path label` per split; decord/PyAV decode on CPU workers;
+  * train sampling: random segment at ``sampling_rate`` stride, or TSN
+    segment sampling when rate==0 (SSv2) (k400.py:305-320);
+  * eval: ``test_num_segment`` temporal x ``test_num_crop`` spatial views,
+    views stacked and logits averaged (engine_finetune.py:302-305);
+  * DummyDataset zeros generator for pipeline isolation (k400.py:323-339).
+
+TPU-native: decode goes through OpenCV (the lib available here; decord/PyAV
+hooks are gated), sampled frames are resized to a fixed canvas on host, and
+all augmentation happens on device (data/video_transforms.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _have_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def sample_indices_random(num_frames: int, clip_len: int, rate: int,
+                          rs: np.random.RandomState) -> np.ndarray:
+    """Random contiguous segment at stride ``rate`` (k400 train)."""
+    span = clip_len * rate
+    if num_frames >= span:
+        start = rs.randint(0, num_frames - span + 1)
+        idx = start + np.arange(clip_len) * rate
+    else:
+        idx = np.linspace(0, max(num_frames - 1, 0), clip_len)
+    return idx.astype(np.int64)
+
+
+def sample_indices_tsn(num_frames: int, clip_len: int,
+                       rs: Optional[np.random.RandomState]) -> np.ndarray:
+    """TSN segment sampling (SSv2: rate==0, k400.py:305-313): split the video
+    into clip_len segments, pick one frame per segment (random in train,
+    center in eval)."""
+    edges = np.linspace(0, num_frames, clip_len + 1)
+    if rs is not None:
+        picks = [edges[i] + rs.rand() * (edges[i + 1] - edges[i])
+                 for i in range(clip_len)]
+    else:
+        picks = [(edges[i] + edges[i + 1]) / 2 for i in range(clip_len)]
+    return np.minimum(np.asarray(picks, np.int64), max(num_frames - 1, 0))
+
+
+def sample_indices_test(num_frames: int, clip_len: int, rate: int,
+                        segment_idx: int, num_segments: int) -> np.ndarray:
+    """Temporal multi-view sampling for eval (k400.py:225-248)."""
+    if rate > 0:
+        span = clip_len * rate
+        if num_frames >= span:
+            starts = np.linspace(0, num_frames - span, num_segments)
+            idx = starts[segment_idx] + np.arange(clip_len) * rate
+        else:
+            idx = np.linspace(0, max(num_frames - 1, 0), clip_len)
+    else:
+        idx = sample_indices_tsn(num_frames, clip_len, None)
+    return np.minimum(idx.astype(np.int64), max(num_frames - 1, 0))
+
+
+class VideoDataset:
+    """mp4 list file dataset.
+
+    list file lines: ``relative/path.mp4 label`` (space or comma separated).
+    Train: returns ([T, canvas, canvas, 3] uint8, label).
+    Eval (``test_mode``): returns ([V, T, canvas, canvas, 3] uint8, label)
+    with V = num_segments * num_crops views.
+    """
+
+    def __init__(self, root: str, listfile: str, *, clip_len: int = 8,
+                 sampling_rate: int = 16, canvas: int = 320,
+                 test_mode: bool = False, test_num_segment: int = 3,
+                 test_num_crop: int = 1, num_classes: int = 400, seed: int = 0):
+        if not _have_cv2():
+            raise ImportError("video decode needs OpenCV (cv2)")
+        self.root = root
+        self.items: List[Tuple[str, int]] = []
+        with open(listfile) as f:
+            for line in f:
+                line = line.strip().replace(",", " ")
+                if not line:
+                    continue
+                path, lab = line.rsplit(" ", 1)
+                self.items.append((path, int(lab)))
+        self.clip_len = clip_len
+        self.rate = sampling_rate
+        self.canvas = canvas
+        self.test_mode = test_mode
+        self.test_num_segment = test_num_segment
+        self.test_num_crop = test_num_crop
+        self.num_classes = num_classes
+        self.metric = "accuracy"
+        self._rs = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.items)
+
+    def _decode(self, path: str, indices: np.ndarray) -> np.ndarray:
+        import cv2
+
+        cap = cv2.VideoCapture(os.path.join(self.root, path))
+        frames = {}
+        want = sorted(set(int(i) for i in indices))
+        pos = -1
+        for i in want:
+            if i != pos + 1:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ok, frame = cap.read()
+            pos = i
+            if not ok:
+                frame = np.zeros((self.canvas, self.canvas, 3), np.uint8)
+            else:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frame = _resize_short_side(frame, self.canvas)
+            frames[i] = frame
+        cap.release()
+        return np.stack([frames[int(i)] for i in indices])
+
+    def _num_frames(self, path: str) -> int:
+        import cv2
+
+        cap = cv2.VideoCapture(os.path.join(self.root, path))
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return max(n, 1)
+
+    def __getitem__(self, i):
+        path, label = self.items[i]
+        n = self._num_frames(path)
+        if not self.test_mode:
+            idx = (sample_indices_random(n, self.clip_len, self.rate, self._rs)
+                   if self.rate > 0 else
+                   sample_indices_tsn(n, self.clip_len, self._rs))
+            return self._decode(path, idx), label
+        views = []
+        for seg in range(self.test_num_segment):
+            idx = sample_indices_test(n, self.clip_len, self.rate, seg,
+                                      self.test_num_segment)
+            clip = self._decode(path, idx)
+            for _ in range(self.test_num_crop):
+                views.append(clip)
+        return np.stack(views), label
+
+
+def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
+    """Resize short side to ``target`` then center-crop to a square canvas."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = target / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top = (nh - target) // 2
+    left = (nw - target) // 2
+    return img[top:top + target, left:left + target]
+
+
+class DummyVideoDataset:
+    """Zeros/random clip generator (reference DummyDataset, k400.py:323-339)."""
+
+    def __init__(self, n: int = 256, clip_len: int = 8, canvas: int = 256,
+                 num_classes: int = 400, test_mode: bool = False,
+                 num_views: int = 3, seed: int = 0):
+        self.n, self.clip_len, self.canvas = n, clip_len, canvas
+        self.num_classes = num_classes
+        self.test_mode = test_mode
+        self.num_views = num_views
+        self.metric = "accuracy"
+        rs = np.random.RandomState(seed)
+        self._clip = rs.randint(0, 256, (8, clip_len, canvas, canvas, 3), np.uint8)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        clip = self._clip[i % 8]
+        label = i % self.num_classes
+        if self.test_mode:
+            return np.stack([clip] * self.num_views), label
+        return clip, label
+
+
+def build_video_dataset(dataset: str, data_path: str, *, clip_len: int = 8,
+                        sampling_rate: int = 16, test_num_segment: int = 3,
+                        test_num_crop: int = 1):
+    """-> (train_ds, val_ds, num_classes) (reference build_dataset,
+    video_datasets/video_datasets.py:10-87: K400 rate 16, val 3 temporal x 1
+    spatial; SSv2 TSN rate 0, val 1 temporal x 3 spatial)."""
+    if dataset.startswith("synthetic"):
+        nc = 400
+        return (DummyVideoDataset(256, clip_len, 256, nc),
+                DummyVideoDataset(64, clip_len, 256, nc, test_mode=True,
+                                  num_views=test_num_segment * test_num_crop),
+                nc)
+    if dataset == "k400":
+        nc, rate = 400, sampling_rate
+    elif dataset in ("ssv2", "sthv2"):
+        nc, rate = 174, 0
+        test_num_segment, test_num_crop = 1, 3
+    else:
+        raise KeyError(f"unknown video dataset {dataset}")
+    train = VideoDataset(data_path, os.path.join(data_path, "train.csv"),
+                         clip_len=clip_len, sampling_rate=rate,
+                         num_classes=nc)
+    val = VideoDataset(data_path, os.path.join(data_path, "val.csv"),
+                       clip_len=clip_len, sampling_rate=rate, canvas=256,
+                       test_mode=True, test_num_segment=test_num_segment,
+                       test_num_crop=test_num_crop, num_classes=nc)
+    return train, val, nc

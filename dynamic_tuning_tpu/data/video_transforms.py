@@ -1,0 +1,93 @@
+"""On-device JAX video-clip augmentation.
+
+The reference's clip transforms run on CPU tensors (video_datasets/transform.py):
+``random_short_side_scale_jitter`` (:49), ``random_crop`` (:125), horizontal
+flip (:161), ``uniform_crop`` for eval spatial views (:196).  Here the host
+only ships fixed-size uint8 clip canvases; the jitter/crop/flip math runs
+vmapped on device with one crop shared across a clip's frames (temporal
+consistency, as in the reference).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.data.transforms import normalize
+
+
+def clip_scale_jitter_crop(rng: jax.Array, clip: jax.Array, *,
+                           min_size: int, max_size: int, crop: int) -> jax.Array:
+    """Random short-side scale in [min_size, max_size] then random crop^2,
+    one draw per clip.  clip: [T, H, W, C] -> [T, crop, crop, C] float32."""
+    k_scale, k_top, k_left = jax.random.split(rng, 3)
+    T, H, W, C = clip.shape
+    short = min(H, W)
+    size = jax.random.uniform(k_scale, minval=float(min_size),
+                              maxval=float(max_size))
+    scale = size / short
+    nh, nw = H * scale, W * scale
+    top = jax.random.uniform(k_top) * jnp.maximum(nh - crop, 0.0)
+    left = jax.random.uniform(k_left) * jnp.maximum(nw - crop, 0.0)
+    # map output pixel grid back to input coords: fused scale+translate
+    t_y = -top
+    t_x = -left
+    return jax.image.scale_and_translate(
+        clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
+        jnp.stack([scale, scale]), jnp.stack([t_y, t_x]), method="bilinear")
+
+
+def clip_uniform_crop(clip: jax.Array, *, resize_to: int, crop: int,
+                      spatial_idx: int, num_crops: int = 3) -> jax.Array:
+    """Eval spatial crop: resize short side then take left/center/right (or
+    top/center/bottom) crop (reference transform.py:196-240)."""
+    T, H, W, C = clip.shape
+    short = min(H, W)
+    scale = resize_to / short
+    nh, nw = H * scale, W * scale
+
+    def offsets():
+        if num_crops == 1:
+            return (nh - crop) / 2.0, (nw - crop) / 2.0
+        # wider side gets the 3 positions
+        long_extent = max(nh, nw) if isinstance(nh, float) else None
+        frac = {0: 0.0, 1: 0.5, 2: 1.0}[spatial_idx]
+        if W >= H:
+            return (nh - crop) / 2.0, frac * (nw - crop)
+        return frac * (nh - crop), (nw - crop) / 2.0
+
+    top, left = offsets()
+    return jax.image.scale_and_translate(
+        clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
+        jnp.stack([jnp.float32(scale), jnp.float32(scale)]),
+        jnp.stack([jnp.float32(-top), jnp.float32(-left)]), method="bilinear")
+
+
+def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
+    return jnp.where(jax.random.bernoulli(rng), clip[:, :, ::-1, :], clip)
+
+
+@partial(jax.jit, static_argnames=("crop", "min_size", "max_size", "train",
+                                   "inception", "flip"))
+def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
+                       min_size: int = 256, max_size: int = 320,
+                       train: bool = True, inception: bool = False,
+                       flip: bool = True) -> jax.Array:
+    """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] normalized float32."""
+    if train:
+        def one(r, clip):
+            r1, r2 = jax.random.split(r)
+            out = clip_scale_jitter_crop(r1, clip, min_size=min_size,
+                                         max_size=max_size, crop=crop)
+            return clip_hflip(r2, out) if flip else out
+
+        rngs = jax.random.split(rng, clips.shape[0])
+        out = jax.vmap(one)(rngs, clips)
+    else:
+        out = jax.vmap(lambda c: clip_uniform_crop(
+            c, resize_to=min_size, crop=crop, spatial_idx=1,
+            num_crops=1))(clips)
+    return normalize(out, inception)

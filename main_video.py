@@ -1,0 +1,47 @@
+"""Video-recognition fine-tuning entry point (K400 / SSv2).
+
+TPU-native counterpart of the reference main_video.py (train_video.sh recipe:
+batch 16/process, blr 1e-3, K400 12 epochs / SSv2 50 epochs, warmup 2,
+8 frames)."""
+
+import argparse
+
+from dynamic_tuning_tpu.cli import add_common_args, args_to_config
+from dynamic_tuning_tpu.config import DataConfig, ModelConfig
+from dynamic_tuning_tpu.train.video_runner import VideoRunner
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("DyT video fine-tuning", add_help=False)
+    parser = add_common_args(parser)
+    parser.set_defaults(batch_size=16, warmup_epochs=2, epochs=12,
+                        dataset="k400")
+    parser.add_argument("--num_frames", type=int, default=8)
+    parser.add_argument("--sampling_rate", type=int, default=16)
+    parser.add_argument("--test_num_segment", type=int, default=3)
+    parser.add_argument("--test_num_crop", type=int, default=1)
+    return parser
+
+
+def main(args):
+    cfg = args_to_config(args)
+    cfg = cfg.replace(
+        model=ModelConfig(num_classes=args.nb_classes,
+                          drop_path_rate=args.drop_path,
+                          num_frames=args.num_frames),
+        data=DataConfig(dataset=args.dataset, data_path=args.data_path,
+                        batch_size=args.batch_size,
+                        num_workers=args.num_workers,
+                        inception_norm=args.inception,
+                        num_frames=args.num_frames,
+                        sampling_rate=args.sampling_rate,
+                        test_num_segment=args.test_num_segment,
+                        test_num_crop=args.test_num_crop))
+    runner = VideoRunner(cfg)
+    if args.eval:
+        return runner.evaluate()
+    return runner.run()
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

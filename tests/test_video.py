@@ -1,0 +1,110 @@
+"""Video model + data tests (reference video_models/, video_datasets/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.data import video as V
+from dynamic_tuning_tpu.data.video_transforms import augment_clip_batch
+from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+
+def _tiny_video_model():
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=12, embed_dim=64,
+                      depth=2, num_heads=4, num_frames=3)
+    return VideoVisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
+                                  select=SelectConfig(), dtype=jnp.float32), cfg
+
+
+def test_video_forward_shapes():
+    model, cfg = _tiny_video_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    logits, aux = model.apply({"params": params}, x)
+    assert logits.shape == (2, 12)
+    # per-frame gates: leading dim B*T (reference folds time into batch)
+    assert aux["token_select"].shape == (6, cfg.depth, cfg.num_patches, 1)
+    assert "query_token" in params and "attentive_blocks" in params
+
+
+def test_video_query_zero_init_and_cross_attn_params():
+    model, _ = _tiny_video_model()
+    x = jnp.zeros((1, 3, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    np.testing.assert_array_equal(np.asarray(params["query_token"]), 0.0)
+    ca = params["attentive_blocks"]["cross_attn"]
+    assert set(ca) >= {"q", "k", "v", "proj", "q_bias", "v_bias"}
+    assert "bias" not in ca["q"]  # biases are separate explicit params
+
+
+def test_video_train_step_runs():
+    from dynamic_tuning_tpu.train.engine import (create_train_state,
+                                                 make_train_step,
+                                                 model_apply_fn)
+    from dynamic_tuning_tpu.train.optim import make_optimizer, partition_params
+    from dynamic_tuning_tpu.train.video_runner import VideoRunner
+
+    model, _ = _tiny_video_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32, 3))
+    y = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    tr, fr = partition_params(params, VideoRunner._trainable_pred)
+    # query token and attentive pooling must be trainable (missing from ckpt)
+    assert any(k[0] == "query_token" for k in tr)
+    assert any(k[0] == "attentive_blocks" for k in tr)
+    tx = make_optimizer(1e-3, steps_per_epoch=10)
+    st = create_train_state(tr, fr, tx, jax.random.PRNGKey(2))
+    step = jax.jit(make_train_step(model_apply_fn(model), tx, SelectConfig()))
+    st, parts = step(st, x, y)
+    assert np.isfinite(float(parts["loss"]))
+
+
+def test_sampling_random_segment():
+    rs = np.random.RandomState(0)
+    idx = V.sample_indices_random(300, 8, 16, rs)
+    assert idx.shape == (8,)
+    assert (np.diff(idx) == 16).all()
+    assert idx.max() < 300
+    # short video: linspace fallback
+    idx2 = V.sample_indices_random(10, 8, 16, rs)
+    assert idx2.max() <= 9 and idx2.shape == (8,)
+
+
+def test_sampling_tsn_covers_segments():
+    idx = V.sample_indices_tsn(160, 8, None)
+    assert idx.shape == (8,)
+    assert (np.diff(idx) > 0).all()
+    assert idx[0] >= 0 and idx[-1] < 160
+
+
+def test_test_sampling_distinct_views():
+    a = V.sample_indices_test(400, 8, 16, 0, 3)
+    b = V.sample_indices_test(400, 8, 16, 2, 3)
+    assert not np.array_equal(a, b)
+
+
+def test_dummy_video_and_multiview_builder():
+    tr, va, nc = V.build_video_dataset("synthetic", "", clip_len=4)
+    clip, lab = tr[0]
+    assert clip.shape == (4, 256, 256, 3)
+    views, lab2 = va[0]
+    assert views.shape == (3, 4, 256, 256, 3)
+    assert nc == 400
+
+
+def test_augment_clip_batch_shapes():
+    clips = jnp.asarray(np.random.randint(0, 256, (2, 4, 64, 64, 3), np.uint8))
+    out = augment_clip_batch(jax.random.PRNGKey(0), clips, crop=32,
+                             min_size=40, max_size=56, train=True)
+    assert out.shape == (2, 4, 32, 32, 3)
+    # temporal consistency: same crop across frames -> identical frames stay identical
+    same = jnp.asarray(np.tile(np.random.randint(0, 256, (1, 1, 64, 64, 3),
+                                                 np.uint8), (1, 4, 1, 1, 1)))
+    o = augment_clip_batch(jax.random.PRNGKey(1), same, crop=32,
+                           min_size=40, max_size=56, train=True)
+    np.testing.assert_allclose(np.asarray(o[0, 0]), np.asarray(o[0, 3]),
+                               rtol=1e-5, atol=1e-5)
+    ev = augment_clip_batch(jax.random.PRNGKey(0), clips, crop=32,
+                            min_size=40, max_size=56, train=False)
+    assert ev.shape == (2, 4, 32, 32, 3)
