@@ -1,0 +1,182 @@
+"""ADE20K-style semantic-segmentation data pipeline.
+
+Replaces the reference's mmseg dataset/pipeline stack
+(configs/beit/upernet/our_vit.py train_pipeline): LoadAnnotations with
+``reduce_zero_label``, Resize img_scale=(2048,512) ratio_range=(0.5,2.0),
+RandomCrop 512 with cat_max_ratio 0.75, RandomFlip 0.5, PhotoMetricDistortion,
+Normalize(mean=std=127.5), Pad to 512.
+
+Geometry ops are per-image dynamic so they run host-side in numpy/PIL; the
+device receives fixed [512, 512] crops (images uint8, labels uint8 with 255
+ignore) and does only the normalize.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
+def _annread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path), np.uint8)
+
+
+def _resize(img: np.ndarray, scale: float, nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    return np.asarray(Image.fromarray(img).resize((nw, nh), mode))
+
+
+class ADE20KDataset:
+    """images/{split} jpg + annotations/{split} png, label 0 = background
+    dropped via reduce_zero_label (label-1; 0 and 255 -> 255 ignore)."""
+
+    NUM_CLASSES = 150
+
+    def __init__(self, root: str, split: str = "training", *, crop: int = 512,
+                 train: bool = True, base_scale: Tuple[int, int] = (2048, 512),
+                 ratio_range: Tuple[float, float] = (0.5, 2.0),
+                 cat_max_ratio: float = 0.75, seed: int = 0):
+        img_dir = os.path.join(root, "images", split)
+        ann_dir = os.path.join(root, "annotations", split)
+        self.items: List[Tuple[str, str]] = []
+        for fn in sorted(os.listdir(img_dir)):
+            if fn.endswith((".jpg", ".png")):
+                ann = os.path.splitext(fn)[0] + ".png"
+                self.items.append((os.path.join(img_dir, fn),
+                                   os.path.join(ann_dir, ann)))
+        self.crop = crop
+        self.train = train
+        self.base_scale = base_scale
+        self.ratio_range = ratio_range
+        self.cat_max_ratio = cat_max_ratio
+        self.num_classes = self.NUM_CLASSES
+        self.metric = "miou"
+        self._rs = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.items)
+
+    def _reduce_zero(self, ann: np.ndarray) -> np.ndarray:
+        out = ann.astype(np.int16) - 1
+        out[ann == 0] = 255
+        out[ann == 255] = 255
+        return out.astype(np.uint8)
+
+    def _rand_crop(self, img, ann):
+        """RandomCrop with cat_max_ratio: retry up to 10 crops so one class
+        doesn't fill >75% of the crop (mmseg RandomCrop semantics)."""
+        c = self.crop
+        h, w = img.shape[:2]
+        best = None
+        for _ in range(10):
+            top = self._rs.randint(0, max(h - c, 0) + 1)
+            left = self._rs.randint(0, max(w - c, 0) + 1)
+            a = ann[top:top + c, left:left + c]
+            labels, counts = np.unique(a[a != 255], return_counts=True)
+            best = (top, left)
+            if len(counts) == 0:
+                continue
+            if counts.max() / counts.sum() < self.cat_max_ratio:
+                break
+        top, left = best
+        return (img[top:top + c, left:left + c],
+                ann[top:top + c, left:left + c])
+
+    def _photometric(self, img: np.ndarray) -> np.ndarray:
+        """Brightness/contrast/saturation jitter (PhotoMetricDistortion)."""
+        out = img.astype(np.float32)
+        if self._rs.rand() < 0.5:
+            out += self._rs.uniform(-32, 32)
+        if self._rs.rand() < 0.5:
+            out *= self._rs.uniform(0.5, 1.5)
+        if self._rs.rand() < 0.5:  # saturation via mean-gray mix
+            gray = out.mean(axis=-1, keepdims=True)
+            out = gray + (out - gray) * self._rs.uniform(0.5, 1.5)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def __getitem__(self, i):
+        img_path, ann_path = self.items[i]
+        img = _imread(img_path)
+        ann = self._reduce_zero(_annread(ann_path))
+        c = self.crop
+
+        if self.train:
+            # Resize: fit (2048, 512) keep-ratio then random ratio 0.5-2.0
+            h, w = img.shape[:2]
+            base = min(max(self.base_scale) / max(h, w),
+                       min(self.base_scale) / min(h, w))
+            scale = base * self._rs.uniform(*self.ratio_range)
+            img = _resize(img, scale)
+            ann = _resize(ann, scale, nearest=True)
+            # pad to at least crop, then random crop + flip + photometric
+            ph = max(c - img.shape[0], 0)
+            pw = max(c - img.shape[1], 0)
+            if ph or pw:
+                img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+                ann = np.pad(ann, ((0, ph), (0, pw)), constant_values=255)
+            img, ann = self._rand_crop(img, ann)
+            if self._rs.rand() < 0.5:
+                img, ann = img[:, ::-1], ann[:, ::-1]
+            img = self._photometric(img)
+            return np.ascontiguousarray(img), np.ascontiguousarray(ann)
+        # eval: keep-ratio resize so short side ~512, return whole image
+        h, w = img.shape[:2]
+        scale = min(max(self.base_scale) / max(h, w),
+                    min(self.base_scale) / min(h, w))
+        img = _resize(img, scale)
+        ann = _resize(ann, scale, nearest=True)
+        return img, ann
+
+
+class SyntheticSegDataset:
+    """Fixed random crops for pipeline tests (DummyDataset analogue)."""
+
+    def __init__(self, n: int = 64, crop: int = 64, num_classes: int = 150,
+                 train: bool = True, seed: int = 0):
+        self.n, self.crop = n, crop
+        self.num_classes = num_classes
+        self.train = train
+        self.metric = "miou"
+        rs = np.random.RandomState(seed)
+        self._img = rs.randint(0, 256, (8, crop, crop, 3), np.uint8)
+        self._ann = rs.randint(0, num_classes, (8, crop, crop)).astype(np.uint8)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self._img[i % 8], self._ann[i % 8]
+
+
+def build_seg_dataset(dataset: str, data_path: str, crop: int = 512,
+                      num_classes: int = 150):
+    if dataset.startswith("synthetic"):
+        return (SyntheticSegDataset(64, crop, num_classes, train=True),
+                SyntheticSegDataset(16, crop, num_classes, train=False, seed=1),
+                num_classes)
+    if dataset == "ade20k":
+        return (ADE20KDataset(data_path, "training", crop=crop, train=True),
+                ADE20KDataset(data_path, "validation", crop=crop, train=False),
+                ADE20KDataset.NUM_CLASSES)
+    raise KeyError(f"unknown segmentation dataset {dataset}")
+
+
+def seg_normalize(img):
+    """mean/std 127.5 (reference our_vit.py img_norm_cfg)."""
+    import jax.numpy as jnp
+
+    return (img.astype(jnp.float32) - 127.5) / 127.5

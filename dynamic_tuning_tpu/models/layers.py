@@ -97,6 +97,33 @@ class Mlp(nn.Module):
 
 # --- Attention ---------------------------------------------------------------
 
+def _relative_position_index(wh: int, ww: int):
+    """BEiT-style relative-position index over a (wh, ww) grid + CLS.
+
+    Returns an int32 [N+1, N+1] index into a bias table of size
+    (2wh-1)*(2ww-1)+3 (the +3 slots are cls->token, token->cls, cls->cls).
+    Used by the segmentation backbone's windowed attention (reference
+    dense_tasks/.../segmentation_vision_transformer_IN21K.py:150-195).
+    """
+    import numpy as np
+
+    n = wh * ww
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                                  indexing="ij")).reshape(2, -1)  # [2, N]
+    rel = coords[:, :, None] - coords[:, None, :]                 # [2, N, N]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    num_rel = (2 * wh - 1) * (2 * ww - 1)
+    idx = np.zeros((n + 1, n + 1), np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel + 1          # cls -> token
+    idx[0:, 0] = num_rel + 2          # token -> cls
+    idx[0, 0] = num_rel               # cls -> cls
+    return idx.astype(np.int32), num_rel + 3
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (reference vision_transformer_IN21K.py:27-75).
 
@@ -104,12 +131,16 @@ class Attention(nn.Module):
     lengths here are tiny (197-1577 tokens) so XLA's fused attention is at
     speed-of-light; a Pallas flash-attention kernel (ops/flash_attention.py)
     can be enabled for the longer video/seg sequences.
+
+    ``window_size=(h, w)`` adds a learnable BEiT-style relative-position bias
+    over the patch grid + CLS (segmentation backbone).
     """
 
     num_heads: int
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    window_size: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -125,6 +156,13 @@ class Attention(nn.Module):
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
+        if self.window_size is not None:
+            idx, table_size = _relative_position_index(*self.window_size)
+            table = self.param("relative_position_bias_table",
+                               nn.initializers.zeros_init(),
+                               (table_size, self.num_heads), jnp.float32)
+            bias = table[jnp.asarray(idx)]                 # [N+1, N+1, H]
+            attn = attn + bias.transpose(2, 0, 1)[None]
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
@@ -296,6 +334,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     select: bool = True
+    window_size: Optional[Tuple[int, int]] = None
     tuning: TuningConfig = TuningConfig()
     select_cfg: SelectConfig = SelectConfig()
     dtype: Dtype = jnp.bfloat16
@@ -309,7 +348,8 @@ class Block(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
-                      self.proj_drop, dtype=self.dtype, name="attn")(
+                      self.proj_drop, window_size=self.window_size,
+                      dtype=self.dtype, name="attn")(
                           h.astype(self.dtype), deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(
             h, deterministic=deterministic)

@@ -86,9 +86,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch onto the mesh, sharded along the leading axis."""
+    """Place a host batch onto the mesh, sharded along the leading axis.
+    Leaves whose batch dim doesn't divide the data axis are replicated
+    (tiny-batch smoke runs, remainder batches)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    dp = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        ok = x.ndim > 0 and x.shape[0] % dp == 0
+        return jax.device_put(x, sh if ok else rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def _path_to_spec(mesh: Mesh, path, shape) -> P:

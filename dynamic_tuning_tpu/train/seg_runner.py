@@ -1,0 +1,207 @@
+"""Segmentation training runner (iter-based, poly LR).
+
+Reference recipe (configs/beit/upernet/our_vit.py + mmcv_custom/train_api.py):
+AdamW lr 1e-3 wd 0.05, poly power 1.0 with 1500-iter linear warmup, 160k
+iters, batch 2/process, crop 512; eval mIoU by slide inference (crop 512 /
+stride 341) every ``eval_interval`` iters.  The token budget loss rides inside
+the total loss (encoder_decoder.py:139-142)."""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dynamic_tuning_tpu.config import RunConfig
+from dynamic_tuning_tpu.data.loader import DataLoader
+from dynamic_tuning_tpu.data.segmentation import build_seg_dataset, seg_normalize
+from dynamic_tuning_tpu.models.upernet import DyTSegmentor, seg_loss, slide_inference
+from dynamic_tuning_tpu.parallel import mesh as M
+from dynamic_tuning_tpu.train import checkpoint as C
+from dynamic_tuning_tpu.train.engine import TrainState, create_train_state
+from dynamic_tuning_tpu.train.optim import (count_params, merge_params,
+                                            partition_params)
+from dynamic_tuning_tpu.utils.logger import create_logger
+from dynamic_tuning_tpu.utils.meters import MetricLogger
+from dynamic_tuning_tpu.utils.metrics import confusion_matrix, miou_from_confusion
+
+
+def poly_schedule(base_lr: float, total_iters: int, warmup_iters: int = 1500,
+                  warmup_ratio: float = 1e-6, power: float = 1.0,
+                  min_lr: float = 0.0):
+    def sched(step):
+        warm = base_lr * (warmup_ratio + (1 - warmup_ratio)
+                          * step / max(warmup_iters, 1))
+        prog = jnp.clip(step / max(total_iters, 1), 0.0, 1.0)
+        poly = (base_lr - min_lr) * (1 - prog) ** power + min_lr
+        return jnp.where(step < warmup_iters, warm, poly)
+
+    return sched
+
+
+def seg_trainable_predicate(path):
+    """Freeze rule for segmentation: backbone pretrained weights frozen;
+    adapters, routers, rel-pos tables, FPN necks and both heads train
+    (the reference freezes all-but-missing, seg_train.py:226-230 — the FPN,
+    heads, rel-pos tables and DyT params are exactly the missing set)."""
+    if path[0] in ("decode_head", "auxiliary_head"):
+        return True
+    if any(k in path for k in ("adaptmlp", "mlp_token_select",
+                               "relative_position_bias_table")):
+        return True
+    if len(path) > 1 and path[1].startswith("fpn"):
+        return True
+    return False
+
+
+class SegRunner:
+    def __init__(self, cfg: RunConfig, *, total_iters: int = 160_000,
+                 eval_interval: int = 16_000, crop: int = 512,
+                 slide_stride: int = 341):
+        self.cfg = cfg
+        self.total_iters = total_iters
+        self.eval_interval = eval_interval
+        self.crop = crop
+        self.slide_stride = slide_stride
+        self.logger = create_logger(cfg.output_dir, jax.process_index())
+        self.mesh = M.make_mesh(cfg.mesh.model_parallel)
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        train_ds, val_ds, nc = build_seg_dataset(cfg.data.dataset,
+                                                 cfg.data.data_path, crop)
+        self.num_classes = nc
+        self.train_loader = DataLoader(
+            train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
+            seed=cfg.seed, num_workers=cfg.data.num_workers,
+            process_index=jax.process_index(), process_count=jax.process_count())
+        self.val_ds = val_ds
+
+        self.model = DyTSegmentor(cfg.model, num_classes=nc,
+                                  tuning=cfg.tuning, select=cfg.select,
+                                  dtype=self.dtype)
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = jnp.zeros((1, crop, crop, 3))
+        params = self.model.init(rng, sample)["params"]
+
+        if cfg.finetune:
+            if cfg.finetune.endswith((".pth", ".pt")):
+                sd = C.load_torch_state_dict(cfg.finetune)
+                # backbone prefix remap (reference seg_train.py:216-221)
+                bb = params["backbone"]
+                bb, _ = C.import_pretrained(bb, sd, self.logger)
+                params = {**params, "backbone": bb}
+            else:
+                params = C.load_params(cfg.finetune)
+
+        trainable, frozen = partition_params(params, seg_trainable_predicate)
+        self.logger.info(f"seg trainable (M): {count_params(trainable, False) / 1e6:.2f}")
+
+        sched = poly_schedule(cfg.optim.lr or 1e-3, total_iters)
+        self.tx = optax.adamw(sched, weight_decay=0.05)
+        state = create_train_state(trainable, frozen, self.tx,
+                                   jax.random.fold_in(rng, 1))
+        self.state = M.shard_state(self.mesh, state)
+        self.start_iter = 0
+        if cfg.resume:
+            self.state, last, _ = C.load_checkpoint(cfg.resume, self.state)
+            self.start_iter = int(self.state.step)
+
+        self.train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
+        self._eval_apply = jax.jit(self._make_eval_apply())
+
+    def _make_train_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(trainable, frozen, images, labels, rngs):
+            params = merge_params(trainable, frozen)
+            logits, aux_logits, aux = model.apply(
+                {"params": params}, images, training=True, rngs=rngs)
+            total, parts = seg_loss(logits, aux_logits, labels, aux["loss"])
+            parts["loss"] = total
+            if aux["token_select"] is not None:
+                parts["keep_ratio"] = aux["token_select"].astype(jnp.float32).mean()
+            return total, parts
+
+        def step(state: TrainState, images, labels):
+            r = jax.random.fold_in(state.rng, state.step)
+            g, d = jax.random.split(r)
+            grads, parts = jax.grad(loss_fn, has_aux=True)(
+                state.trainable, state.frozen, images, labels,
+                {"gate": g, "dropout": d})
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return state._replace(step=state.step + 1, trainable=trainable,
+                                  opt_state=opt_state), parts
+
+        return step
+
+    def _make_eval_apply(self):
+        model = self.model
+
+        def apply_fn(params, tile):
+            logits, _, _ = model.apply({"params": params}, tile,
+                                       training=False)
+            return logits
+
+        return apply_fn
+
+    def evaluate(self, max_images: int | None = None) -> Dict[str, float]:
+        params = merge_params(self.state.trainable, self.state.frozen)
+        cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        n = len(self.val_ds) if max_images is None else min(max_images,
+                                                            len(self.val_ds))
+        for i in range(jax.process_index(), n, jax.process_count()):
+            img, ann = self.val_ds[i]
+            x = seg_normalize(jnp.asarray(img))
+            logits = slide_inference(self._eval_apply, params, x,
+                                     num_classes=self.num_classes,
+                                     crop=self.crop, stride=self.slide_stride)
+            pred = np.asarray(jnp.argmax(logits, -1))
+            cm += confusion_matrix(pred, np.asarray(ann), self.num_classes)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            cm = np.asarray(multihost_utils.process_allgather(cm)).sum(0)
+        miou, per_class = miou_from_confusion(cm)
+        acc = float(np.diag(cm).sum() / max(cm.sum(), 1) * 100)
+        stats = {"miou": miou, "aAcc": acc, "metric": miou}
+        self.logger.info("seg eval: " + json.dumps(
+            {k: round(float(v), 4) for k, v in stats.items()}))
+        return stats
+
+    def run(self) -> Dict[str, float]:
+        cfg = self.cfg
+        ml = MetricLogger(logger=self.logger)
+        it = self.start_iter
+        max_miou, t0 = 0.0, time.time()
+        epoch = 0
+        while it < self.total_iters:
+            self.train_loader.set_epoch(epoch)
+            for imgs, anns in self.train_loader:
+                xb = seg_normalize(jnp.asarray(imgs))
+                yb = jnp.asarray(anns.astype(np.int32))
+                xb, yb = M.shard_batch(self.mesh, (xb, yb))
+                self.state, parts = self.train_step(self.state, xb, yb)
+                ml.update(**{k: float(v) for k, v in parts.items()})
+                it += 1
+                if it % 50 == 0:
+                    self.logger.info(f"iter {it}/{self.total_iters} {ml}")
+                if it % self.eval_interval == 0 or it == self.total_iters:
+                    stats = self.evaluate()
+                    if cfg.output_dir and stats["metric"] >= max_miou:
+                        C.save_checkpoint(cfg.output_dir, self.state, it,
+                                          extra={"miou": stats["metric"]},
+                                          auto_remove=True,
+                                          is_main=jax.process_index() == 0)
+                    max_miou = max(max_miou, stats["metric"])
+                if it >= self.total_iters:
+                    break
+            epoch += 1
+        self.logger.info(f"seg training done in {time.time() - t0:.0f}s; "
+                         f"max mIoU {max_miou:.2f}")
+        return {"max_miou": max_miou}

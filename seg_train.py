@@ -1,0 +1,41 @@
+"""Semantic-segmentation training entry point (ADE20K, UperNet + DyT ViT).
+
+TPU-native counterpart of the reference
+dense_tasks/Segmentation/tools/seg_train.py with the our_vit.py recipe:
+crop 512, AdamW 1e-3 wd 0.05, poly LR (1500-iter warmup), 160k iters,
+slide eval crop 512 / stride 341, mIoU every 16k iters.
+"""
+
+import argparse
+
+from dynamic_tuning_tpu.cli import add_common_args, args_to_config
+from dynamic_tuning_tpu.config import ModelConfig
+from dynamic_tuning_tpu.train.seg_runner import SegRunner
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DyT segmentation training", add_help=False)
+    p = add_common_args(p)
+    p.set_defaults(dataset="ade20k", batch_size=2, lr=1e-3, weight_decay=0.05,
+                   drop_path=0.1)
+    p.add_argument("--crop_size", type=int, default=512)
+    p.add_argument("--total_iters", type=int, default=160_000)
+    p.add_argument("--eval_interval", type=int, default=16_000)
+    p.add_argument("--slide_stride", type=int, default=341)
+    return p
+
+
+def main(args):
+    cfg = args_to_config(args)
+    cfg = cfg.replace(model=ModelConfig(img_size=args.crop_size,
+                                        drop_path_rate=args.drop_path))
+    runner = SegRunner(cfg, total_iters=args.total_iters,
+                       eval_interval=args.eval_interval,
+                       crop=args.crop_size, slide_stride=args.slide_stride)
+    if args.eval:
+        return runner.evaluate()
+    return runner.run()
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -1,0 +1,100 @@
+"""Segmentation stack tests (backbone+FPN, UperNet, loss, slide inference,
+mIoU) — reference dense_tasks/Segmentation/."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
+from dynamic_tuning_tpu.models.upernet import (DyTSegmentor, seg_loss,
+                                               slide_inference)
+from dynamic_tuning_tpu.utils.metrics import confusion_matrix, miou_from_confusion
+
+
+def _tiny_cfg():
+    return ModelConfig(img_size=64, patch_size=8, embed_dim=64, depth=4,
+                       num_heads=4)
+
+
+def test_backbone_feature_pyramid_shapes():
+    cfg = _tiny_cfg()
+    bb = SegVisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
+                              select=SelectConfig(),
+                              out_indices=(0, 1, 2, 3), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    params = bb.init(jax.random.PRNGKey(1), x)["params"]
+    feats, aux = bb.apply({"params": params}, x)
+    # strides 2/4/8/16 of the 8x8 patch grid: 32^2, 16^2, 8^2, 4^2
+    assert feats[0].shape == (2, 32, 32, 64)
+    assert feats[1].shape == (2, 16, 16, 64)
+    assert feats[2].shape == (2, 8, 8, 64)
+    assert feats[3].shape == (2, 4, 4, 64)
+    assert aux["loss"].shape == ()
+    assert aux["token_select"].shape == (2, 4, 64, 1)
+    # rel-pos-bias table exists (use_rel_pos_bias default True)
+    assert "relative_position_bias_table" in params["blocks_0"]["attn"]
+
+
+def test_backbone_rel_pos_bias_table_size():
+    from dynamic_tuning_tpu.models.layers import _relative_position_index
+    idx, size = _relative_position_index(8, 8)
+    assert size == 15 * 15 + 3
+    assert idx.shape == (65, 65)
+    assert idx[0, 0] == 15 * 15
+    assert idx.max() < size
+
+
+def test_segmentor_forward_and_loss():
+    cfg = _tiny_cfg()
+    seg = DyTSegmentor(cfg, num_classes=7,
+                       tuning=TuningConfig(ffn_num=8, d_model=64),
+                       select=SelectConfig(), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    params = seg.init(jax.random.PRNGKey(1), x)["params"]
+    logits, aux_logits, aux = seg.apply({"params": params}, x)
+    assert logits.shape == (2, 64, 64, 7)
+    assert aux_logits.shape == (2, 64, 64, 7)
+
+    labels = jnp.asarray(np.random.RandomState(0).randint(0, 7, (2, 64, 64)))
+    labels = labels.at[0, :8].set(255)   # ignore region
+    total, parts = seg_loss(logits, aux_logits, labels, aux["loss"])
+    assert np.isfinite(float(total))
+    recompose = parts["decode_loss"] + 0.4 * parts["aux_loss"] + parts["token_loss"]
+    assert abs(float(total) - float(recompose)) < 1e-6
+
+
+def test_seg_loss_ignores_255():
+    logits = jnp.zeros((1, 4, 4, 3))
+    aux = jnp.zeros((1, 4, 4, 3))
+    all_ignore = jnp.full((1, 4, 4), 255)
+    total, parts = seg_loss(logits, aux, all_ignore, jnp.zeros(()))
+    assert float(parts["decode_loss"]) == 0.0
+
+
+def test_slide_inference_covers_image():
+    cfg = _tiny_cfg()
+    seg = DyTSegmentor(cfg, num_classes=5,
+                       tuning=TuningConfig(ffn_num=8, d_model=64),
+                       select=SelectConfig(), dtype=jnp.float32)
+    x64 = jnp.zeros((1, 64, 64, 3))
+    params = seg.init(jax.random.PRNGKey(1), x64)["params"]
+
+    def apply_fn(p, tile):
+        return seg.apply({"params": p}, tile)[0]
+
+    img = jax.random.normal(jax.random.PRNGKey(2), (100, 150, 3))
+    out = slide_inference(apply_fn, params, img, num_classes=5, crop=64,
+                          stride=48)
+    assert out.shape == (100, 150, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_miou_accumulation():
+    pred = np.array([[0, 0, 1, 1], [2, 2, 1, 0]])
+    label = np.array([[0, 0, 1, 2], [2, 2, 255, 0]])
+    cm = confusion_matrix(pred, label, 3)
+    miou, per_class = miou_from_confusion(cm)
+    # class0: inter 3 / union 3; class1: 1/2; class2: 2/3
+    expect = np.mean([1.0, 0.5, 2 / 3]) * 100
+    assert abs(miou - expect) < 1e-6
