@@ -92,3 +92,33 @@ class DataLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False)
+
+
+def make_loader(dataset, batch_size: int, *, shuffle: bool = False,
+                drop_last: bool = False, seed: int = 0, num_workers: int = 4,
+                process_index: int = 0, process_count: int = 1):
+    """Pick the best loader for a dataset: the native C++ decode pipeline for
+    file-backed datasets (ImageFolder / ImageFilelist), the Python threaded
+    loader otherwise (in-memory arrays, synthetic, video)."""
+    samples = None
+    canvas = getattr(dataset, "canvas", None)
+    if hasattr(dataset, "samples"):            # ImageFolder: (abs_path, label)
+        samples = list(dataset.samples)
+    elif hasattr(dataset, "items") and hasattr(dataset, "root"):
+        import os
+        samples = [(os.path.join(dataset.root, rel), lab)
+                   for rel, lab in dataset.items]
+    if samples is not None and canvas is not None:
+        try:
+            from dynamic_tuning_tpu.data.native_loader import (
+                NativeDataLoader, available)
+            if available():
+                return NativeDataLoader(
+                    samples, batch_size, canvas=canvas, shuffle=shuffle,
+                    drop_last=drop_last, seed=seed, num_workers=num_workers,
+                    process_index=process_index, process_count=process_count)
+        except (RuntimeError, ImportError):
+            pass
+    return DataLoader(dataset, batch_size, shuffle=shuffle,
+                      drop_last=drop_last, seed=seed, num_workers=num_workers,
+                      process_index=process_index, process_count=process_count)

@@ -26,7 +26,7 @@ import numpy as np
 
 from dynamic_tuning_tpu.config import RunConfig
 from dynamic_tuning_tpu.data.datasets import build_image_dataset
-from dynamic_tuning_tpu.data.loader import DataLoader
+from dynamic_tuning_tpu.data.loader import make_loader
 from dynamic_tuning_tpu.data.transforms import augment_batch, normalize_batch
 from dynamic_tuning_tpu.models.vit import VisionTransformer
 from dynamic_tuning_tpu.ops.flops import batch_select_flops, dense_vit_flops
@@ -56,11 +56,11 @@ class Runner:
             cfg.data.dataset, cfg.data.data_path, no_aug=cfg.data.no_aug)
         self.metric_name = metric
         self.nb_classes = nb_classes
-        self.train_loader = DataLoader(
+        self.train_loader = make_loader(
             train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
             seed=cfg.seed, num_workers=cfg.data.num_workers,
             process_index=jax.process_index(), process_count=jax.process_count())
-        self.val_loader = DataLoader(
+        self.val_loader = make_loader(
             val_ds, cfg.data.batch_size, shuffle=False,
             num_workers=cfg.data.num_workers,
             process_index=jax.process_index(), process_count=jax.process_count())

@@ -1,0 +1,319 @@
+// dyt_loader: native threaded image-decode pipeline for dynamic_tuning_tpu.
+//
+// The reference delegates its data loading to torch DataLoader worker
+// processes running PIL/decord (SURVEY.md §2: the repo itself has no native
+// code; the native layer lives in its dependencies).  This is our equivalent
+// native layer: a C++ worker pool that reads JPEG/PNG files, decodes with
+// libjpeg/libpng, resizes (short side -> target, center crop) and assembles
+// uint8 NHWC batches into preallocated buffers behind a bounded prefetch
+// queue.  Exposed as a plain C ABI consumed via ctypes
+// (dynamic_tuning_tpu/data/native_loader.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC dyt_loader.cpp -o libdyt_loader.so -ljpeg -lpng -lpthread
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <setjmp.h>
+
+namespace {
+
+struct Image {
+  std::vector<uint8_t> data;  // RGB HWC
+  int h = 0, w = 0;
+};
+
+// ---------------------------------------------------------------- decode ---
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->data.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(const char* path, Image* out) {
+  png_image img;
+  memset(&img, 0, sizeof(img));
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&img, path)) return false;
+  img.format = PNG_FORMAT_RGB;
+  out->w = img.width;
+  out->h = img.height;
+  out->data.resize(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, out->data.data(), 0, nullptr)) {
+    png_image_free(&img);
+    return false;
+  }
+  return true;
+}
+
+bool read_file(const std::string& path, std::vector<uint8_t>* buf) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf->resize(n);
+  size_t got = fread(buf->data(), 1, n, f);
+  fclose(f);
+  return got == size_t(n);
+}
+
+bool decode_any(const std::string& path, Image* out) {
+  if (path.size() > 4 &&
+      (!strcasecmp(path.c_str() + path.size() - 4, ".png"))) {
+    return decode_png(path.c_str(), out);
+  }
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return false;
+  if (buf.size() > 8 && buf[0] == 0x89 && buf[1] == 'P')
+    return decode_png(path.c_str(), out);
+  return decode_jpeg(buf.data(), buf.size(), out);
+}
+
+// ---------------------------------------------------------------- resize ---
+
+// Bilinear resize short side to `target`, center-crop to target x target.
+void resize_center_crop(const Image& src, int target, uint8_t* dst) {
+  const double scale = double(target) / (src.w < src.h ? src.w : src.h);
+  const int nh = int(src.h * scale + 0.5), nw = int(src.w * scale + 0.5);
+  const int top = (nh - target) / 2, left = (nw - target) / 2;
+  for (int y = 0; y < target; ++y) {
+    const double sy = (y + top + 0.5) / scale - 0.5;
+    const int y0 = sy < 0 ? 0 : (sy >= src.h - 1 ? src.h - 2 : int(sy));
+    const double fy = sy - y0 < 0 ? 0 : (sy - y0 > 1 ? 1 : sy - y0);
+    for (int x = 0; x < target; ++x) {
+      const double sx = (x + left + 0.5) / scale - 0.5;
+      const int x0 = sx < 0 ? 0 : (sx >= src.w - 1 ? src.w - 2 : int(sx));
+      const double fx = sx - x0 < 0 ? 0 : (sx - x0 > 1 ? 1 : sx - x0);
+      const uint8_t* p00 = src.data.data() + (size_t(y0) * src.w + x0) * 3;
+      const uint8_t* p01 = p00 + 3;
+      const uint8_t* p10 = p00 + size_t(src.w) * 3;
+      const uint8_t* p11 = p10 + 3;
+      uint8_t* o = dst + (size_t(y) * target + x) * 3;
+      for (int ch = 0; ch < 3; ++ch) {
+        const double v = (1 - fy) * ((1 - fx) * p00[ch] + fx * p01[ch]) +
+                         fy * ((1 - fx) * p10[ch] + fx * p11[ch]);
+        o[ch] = uint8_t(v + 0.5);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------- loader ---
+
+struct Batch {
+  std::vector<uint8_t> images;
+  std::vector<int32_t> labels;
+  int count = 0;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;
+  int batch_size = 0, canvas = 0, threads = 0, prefetch = 0;
+  bool shuffle = false, drop_last = false;
+  uint64_t seed = 0;
+  int proc_index = 0, proc_count = 1;
+
+  // per-epoch state
+  std::vector<int64_t> order;
+  std::atomic<int64_t> next_batch{0};
+  int64_t num_batches = 0;
+
+  std::deque<Batch> queue;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int> active_workers{0};
+
+  void build_order(int epoch) {
+    order.clear();
+    for (int64_t i = proc_index; i < int64_t(paths.size()); i += proc_count)
+      order.push_back(i);
+    if (shuffle) {
+      // shuffle over the FULL index space then shard, so shards stay disjoint
+      std::vector<int64_t> all(paths.size());
+      for (size_t i = 0; i < all.size(); ++i) all[i] = i;
+      std::mt19937_64 rng(seed + uint64_t(epoch));
+      std::shuffle(all.begin(), all.end(), rng);
+      order.clear();
+      for (size_t i = proc_index; i < all.size(); i += proc_count)
+        order.push_back(all[i]);
+    }
+    const int64_t n = order.size();
+    num_batches = drop_last ? n / batch_size : (n + batch_size - 1) / batch_size;
+    next_batch = 0;
+  }
+
+  void worker() {
+    const size_t img_bytes = size_t(canvas) * canvas * 3;
+    while (!stop) {
+      const int64_t b = next_batch.fetch_add(1);
+      if (b >= num_batches) break;
+      Batch batch;
+      const int64_t start = b * batch_size;
+      const int64_t end = std::min<int64_t>(start + batch_size,
+                                            int64_t(order.size()));
+      batch.count = int(end - start);
+      batch.images.assign(size_t(batch_size) * img_bytes, 0);
+      batch.labels.assign(batch_size, 0);
+      for (int64_t i = start; i < end; ++i) {
+        const int64_t idx = order[i];
+        Image img;
+        if (decode_any(paths[idx], &img) && img.w > 1 && img.h > 1) {
+          resize_center_crop(img, canvas,
+                             batch.images.data() + size_t(i - start) * img_bytes);
+        }
+        batch.labels[i - start] = labels[idx];
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_push.wait(lk, [&] { return int(queue.size()) < prefetch || stop; });
+      if (stop) break;
+      queue.push_back(std::move(batch));
+      cv_pop.notify_one();
+    }
+    if (active_workers.fetch_sub(1) == 1) {
+      std::lock_guard<std::mutex> lk(mu);
+      cv_pop.notify_all();
+    }
+  }
+
+  void start_epoch(int epoch) {
+    join_workers();
+    build_order(epoch);
+    stop = false;
+    queue.clear();
+    active_workers = threads;
+    for (int t = 0; t < threads; ++t)
+      workers.emplace_back([this] { worker(); });
+  }
+
+  // returns actual sample count, 0 at end of epoch
+  int next(uint8_t* out_images, int32_t* out_labels) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] {
+      return !queue.empty() || active_workers == 0;
+    });
+    if (queue.empty()) return 0;
+    Batch b = std::move(queue.front());
+    queue.pop_front();
+    cv_push.notify_one();
+    lk.unlock();
+    memcpy(out_images, b.images.data(), b.images.size());
+    memcpy(out_labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
+    return b.count;
+  }
+
+  void join_workers() {
+    stop = true;
+    cv_push.notify_all();
+    for (auto& t : workers) t.join();
+    workers.clear();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dyt_loader_create(const char** paths, const int32_t* labels, int64_t n,
+                        int batch_size, int canvas, int threads, int prefetch,
+                        int shuffle, int drop_last, uint64_t seed,
+                        int proc_index, int proc_count) {
+  auto* L = new Loader();
+  L->paths.reserve(n);
+  L->labels.assign(labels, labels + n);
+  for (int64_t i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
+  L->batch_size = batch_size;
+  L->canvas = canvas;
+  L->threads = threads > 0 ? threads : 4;
+  L->prefetch = prefetch > 0 ? prefetch : 4;
+  L->shuffle = shuffle != 0;
+  L->drop_last = drop_last != 0;
+  L->seed = seed;
+  L->proc_index = proc_index;
+  L->proc_count = proc_count > 0 ? proc_count : 1;
+  return L;
+}
+
+int64_t dyt_loader_num_batches(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  std::vector<int64_t> tmp;
+  int64_t n = 0;
+  for (int64_t i = L->proc_index; i < int64_t(L->paths.size());
+       i += L->proc_count)
+    ++n;
+  return L->drop_last ? n / L->batch_size
+                      : (n + L->batch_size - 1) / L->batch_size;
+}
+
+void dyt_loader_start_epoch(void* handle, int epoch) {
+  static_cast<Loader*>(handle)->start_epoch(epoch);
+}
+
+int dyt_loader_next(void* handle, uint8_t* images, int32_t* labels) {
+  return static_cast<Loader*>(handle)->next(images, labels);
+}
+
+void dyt_loader_destroy(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  L->join_workers();
+  delete L;
+}
+
+// standalone single-image decode (for tests / ad-hoc use)
+int dyt_decode_resize(const char* path, int canvas, uint8_t* out) {
+  Image img;
+  if (!decode_any(path, &img) || img.w < 2 || img.h < 2) return 0;
+  resize_center_crop(img, canvas, out);
+  return 1;
+}
+
+}  // extern "C"
