@@ -58,7 +58,11 @@ def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
     from dynamic_tuning_tpu.models.vit import VisionTransformer
 
-    cfg = ModelConfig(num_classes=100)
+    # inference-speed config for BOTH sides (the reference equally runs its
+    # dense baseline and DyT under AMP, speed.py:247): bf16 residual stream,
+    # tanh GELU
+    cfg = ModelConfig(num_classes=100, gelu_approx=True,
+                      residual_dtype="bfloat16")
     tuning = TuningConfig()
     sel = SelectConfig(token_target_ratio=0.5)
     model = VisionTransformer(cfg, tuning=tuning, select=sel, dtype=jnp.bfloat16)

@@ -76,6 +76,10 @@ class ModelConfig:
     drop_path_rate: float = 0.0
     global_pool: str = "token"              # "token" | "avg"
     class_token: bool = True
+    # perf knobs (TPU):
+    gelu_approx: bool = False               # tanh GELU (VPU-cheap) vs exact erf
+    residual_dtype: str = "float32"         # "bfloat16" halves residual HBM
+                                            # traffic (inference-safe)
     # video settings
     num_frames: int = 1                     # >1 enables the video path
     tubelet_size: int = 1

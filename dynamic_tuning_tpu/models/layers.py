@@ -80,14 +80,16 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    gelu_approx: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      kernel_init=trunc_normal_02, name="fc1")(x)
-        # torch nn.GELU defaults to the exact (erf) form.
-        x = nn.gelu(x, approximate=False)
+        # torch nn.GELU defaults to the exact (erf) form; the tanh approx is
+        # ~4x cheaper on the VPU and below bf16 resolution — opt-in knob.
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out_features, dtype=self.dtype,
                      kernel_init=trunc_normal_02, name="fc2")(x)
@@ -335,6 +337,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     select: bool = True
     window_size: Optional[Tuple[int, int]] = None
+    gelu_approx: bool = False
     tuning: TuningConfig = TuningConfig()
     select_cfg: SelectConfig = SelectConfig()
     dtype: Dtype = jnp.bfloat16
@@ -370,7 +373,7 @@ class Block(nn.Module):
 
         norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
         mlp = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
-                  dtype=self.dtype, name="mlp")
+                  gelu_approx=self.gelu_approx, dtype=self.dtype, name="mlp")
 
         if dispatch and gate is not None and not training:
             # Efficient-inference path: capacity-bounded gather -> MLP on

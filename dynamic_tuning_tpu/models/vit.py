@@ -73,6 +73,9 @@ class VisionTransformer(nn.Module):
                          (1, cfg.seq_len, cfg.embed_dim), jnp.float32)
         x = x + pos
         x = nn.Dropout(cfg.pos_drop_rate)(x, deterministic=not training)
+        # residual-stream dtype: fp32 matches the reference's AMP type
+        # promotion; bf16 halves HBM traffic for inference
+        x = x.astype(jnp.dtype(cfg.residual_dtype))
 
         gates, logits_all = [], []
         # stochastic-depth decay rule; static python floats (not traced)
@@ -84,6 +87,7 @@ class VisionTransformer(nn.Module):
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
+                gelu_approx=cfg.gelu_approx,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
                 name=f"blocks_{i}")(x, training=training,
                                     complete_model=complete_model,

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 B, N, C, H, K = 128, 197, 768, 3072, 112
-ITERS = 20
+ITERS = 200
 
 
 def timed(name, fn, *args, flops=None):

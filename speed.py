@@ -31,6 +31,10 @@ def get_args_parser():
     p.add_argument("--warmup", default=5, type=int)
     p.add_argument("--iters", default=15, type=int)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--residual_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--gelu_approx", action="store_true", default=True)
+    p.add_argument("--gelu_exact", dest="gelu_approx", action="store_false")
     return p
 
 
@@ -38,7 +42,8 @@ def main(args):
     sel = SelectConfig(token_target_ratio=args.token_target_ratio,
                        capacity_ratio=args.capacity_ratio)
     model = VisionTransformer(
-        ModelConfig(num_classes=args.nb_classes),
+        ModelConfig(num_classes=args.nb_classes, gelu_approx=args.gelu_approx,
+                    residual_dtype=args.residual_dtype),
         tuning=TuningConfig(ffn_num=args.ffn_num), select=sel,
         dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
 
