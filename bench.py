@@ -56,11 +56,12 @@ def _scan_bench(apply_once, params, x, batch: int, iters: int = ITERS,
 
 def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+    from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
     from dynamic_tuning_tpu.models.vit import VisionTransformer
 
     # inference-speed config for BOTH sides (the reference equally runs its
     # dense baseline and DyT under AMP, speed.py:247): bf16 residual stream,
-    # tanh GELU
+    # tanh GELU, hand-optimized forward (models/fast_inference.py)
     cfg = ModelConfig(num_classes=100, gelu_approx=True,
                       residual_dtype="bfloat16")
     tuning = TuningConfig()
@@ -71,16 +72,22 @@ def main():
     x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
 
-    def dense_fn(p, xx):
-        logits, _ = model.apply({"params": p}, xx, complete_model=True)
-        return logits.sum()
+    def make_fn(mode, use_pallas):
+        def fn(p, xx):
+            logits, _ = fast_vit_forward(p, xx, cfg=cfg, tuning=tuning,
+                                         select=sel, mode=mode,
+                                         use_pallas=use_pallas)
+            return logits.sum()
+        return fn
 
-    def dyt_fn(p, xx):
-        logits, _ = model.apply({"params": p}, xx, dispatch=True)
-        return logits.sum()
+    def bench_mode(mode):
+        try:
+            return _scan_bench(make_fn(mode, True), params, x, BATCH)
+        except Exception:
+            return _scan_bench(make_fn(mode, False), params, x, BATCH)
 
-    dense_ips = _scan_bench(dense_fn, params, x, BATCH)
-    dyt_ips = _scan_bench(dyt_fn, params, x, BATCH)
+    dense_ips = bench_mode("dense")
+    dyt_ips = bench_mode("dispatch")
 
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",

@@ -1,0 +1,161 @@
+"""Hand-optimized DyT ViT inference forward (the TPU "speed-test model").
+
+The reference keeps a separate efficient-inference model
+(models/model_speed_test.py) that realizes actual token-skipping savings.
+This is its TPU-native counterpart: a pure function over the SAME param tree
+the flax model produces, free of module overhead, with:
+
+  * patch embed as a single reshape+matmul (stride==kernel conv == matmul,
+    MXU-friendly, no conv lowering);
+  * bf16 residual stream end-to-end;
+  * capacity-bounded top-k dispatch for the MLP (ops/dispatch.py semantics);
+  * optional Pallas fused LN+fc1+GELU+fc2 kernel (ops/fused_mlp.py) that keeps
+    the 4C-wide hidden activation in VMEM.
+
+Numerics: matches the flax model's eval dispatch path (bf16 tolerance);
+tests pin it against the flax forward.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.ops.dispatch import (capacity_for, gather_tokens,
+                                             scatter_tokens, select_topk)
+from dynamic_tuning_tpu.ops.fused_mlp import fused_ln_mlp, ln_mlp_reference
+
+BF16 = jnp.bfloat16
+
+
+def _ln(x: jax.Array, p: Dict) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"])
+
+
+def _dense(x: jax.Array, p: Dict) -> jax.Array:
+    y = jnp.dot(x.astype(BF16), p["kernel"].astype(BF16),
+                preferred_element_type=jnp.float32)
+    return y + p["bias"].astype(jnp.float32)
+
+
+def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
+    B, N, C = x.shape
+    hd = C // num_heads
+    qkv = _dense(_ln(x, p["norm1"]).astype(BF16), p["attn"]["qkv"])
+    qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(BF16)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+    return _dense(out, p["attn"]["proj"]).astype(BF16)
+
+
+def _adapter(x: jax.Array, p: Dict, scale: float) -> jax.Array:
+    down = jax.nn.relu(_dense(x, p["down_proj"]))
+    return (_dense(down.astype(BF16), p["up_proj"]) * scale).astype(BF16)
+
+
+def _block(x: jax.Array, p: Dict, *, num_heads: int, tuning: TuningConfig,
+           select: SelectConfig, mode: str, use_pallas: bool,
+           interpret: bool, gelu_approx: bool) -> Tuple[jax.Array, Optional[jax.Array]]:
+    B, N, C = x.shape
+    x = x + _attention(x, p, num_heads)
+
+    gate, scores = None, None
+    routed = "mlp_token_select" in p and select.open and mode != "dense"
+    if routed:
+        logits = _dense(x[:, 1:].astype(jnp.float32),
+                        p["mlp_token_select"]["mlp_head"])[..., 0]
+        scores = jax.nn.sigmoid(logits)
+        gate = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.float32), (scores > select.threshold)
+             .astype(jnp.float32)], axis=1)
+
+    adapt = _adapter(x, p["adaptmlp"], float(tuning.ffn_adapter_scalar))
+
+    mp = p["mlp"]
+    ln2 = p["norm2"]
+
+    def run_mlp(rows2d, gate2d):
+        if use_pallas:
+            return fused_ln_mlp(rows2d, ln2["scale"], ln2["bias"],
+                                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                                gate2d, gelu_approx=gelu_approx,
+                                interpret=interpret)
+        return ln_mlp_reference(rows2d, ln2["scale"], ln2["bias"],
+                                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                                gate2d, gelu_approx=gelu_approx)
+
+    if routed and mode == "dispatch":
+        ratio = (select.capacity_ratio if select.capacity_ratio is not None
+                 else select.token_target_ratio)
+        K = capacity_for(N - 1, ratio)
+        scores_full = jnp.concatenate(
+            [jnp.full((B, 1), jnp.inf, jnp.float32), scores], axis=1)
+        idx, mask = select_topk(scores_full, K, select.threshold)
+        xg = gather_tokens(x, idx)
+        yg = run_mlp(xg.reshape(B * K, C),
+                     mask.reshape(B * K, 1).astype(x.dtype))
+        mlp_out = scatter_tokens(x, idx, yg.reshape(B, K, C), mask)
+        gate = scatter_tokens(x[..., :1], idx,
+                              jnp.ones((B, K, 1), x.dtype), mask)[..., 0]
+    else:
+        g2d = None if gate is None else gate.reshape(B * N, 1).astype(x.dtype)
+        mlp_out = run_mlp(x.reshape(B * N, C), g2d).reshape(B, N, C)
+
+    x = x + mlp_out.astype(x.dtype) + adapt
+    return x, gate
+
+
+@partial(jax.jit, static_argnames=("cfg", "tuning", "select", "mode",
+                                   "use_pallas", "interpret"))
+def fast_vit_forward(params: Dict, x: jax.Array, *, cfg: ModelConfig,
+                     tuning: TuningConfig = TuningConfig(),
+                     select: SelectConfig = SelectConfig(),
+                     mode: str = "dispatch", use_pallas: bool = True,
+                     interpret: bool = False
+                     ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """mode: "dispatch" (capacity top-k) | "mask" (dense masked) | "dense"
+    (complete model).  Returns (logits [B, classes], gates [B, L, N] or None).
+    """
+    B = x.shape[0]
+    ps = cfg.patch_size
+    gh = gw = cfg.img_size // ps
+
+    # patch embed as one matmul: [B,gh,ps,gw,ps,3] -> [B,gh*gw, ps*ps*3]
+    xb = x.astype(BF16).reshape(B, gh, ps, gw, ps, 3)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ps * ps * 3)
+    kern = params["patch_embed"]["proj"]["kernel"].astype(BF16)  # [ps,ps,3,C]
+    kern = kern.reshape(ps * ps * 3, -1)
+    tokens = jnp.dot(xb, kern, preferred_element_type=jnp.float32)
+    tokens = tokens + params["patch_embed"]["proj"]["bias"]
+
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.embed_dim))
+    h = jnp.concatenate([cls, tokens], axis=1) + params["pos_embed"]
+    h = h.astype(BF16)
+
+    gates = []
+    for i in range(cfg.depth):
+        h, gate = _block(h, params[f"blocks_{i}"], num_heads=cfg.num_heads,
+                         tuning=tuning, select=select, mode=mode,
+                         use_pallas=use_pallas, interpret=interpret,
+                         gelu_approx=cfg.gelu_approx)
+        if gate is not None:
+            gates.append(gate)
+
+    h = _ln(h, params["norm"])
+    pooled = h[:, 0]
+    logits = jnp.dot(pooled, params["head"]["kernel"],
+                     preferred_element_type=jnp.float32) + params["head"]["bias"]
+    gate_stack = jnp.stack(gates, axis=1) if gates else None
+    return logits, gate_stack

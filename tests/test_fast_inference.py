@@ -1,0 +1,72 @@
+"""fast_vit_forward must agree with the flax model's eval forwards."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=2, num_heads=4)
+    tuning = TuningConfig(ffn_num=8, d_model=64, dropout=0.0)
+    sel = SelectConfig()
+    model = VisionTransformer(cfg, tuning=tuning, select=sel, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    # strengthen router so gates are stable across bf16-vs-fp32 noise
+    for i in range(cfg.depth):
+        params[f"blocks_{i}"]["mlp_token_select"]["mlp_head"]["kernel"] = (
+            params[f"blocks_{i}"]["mlp_token_select"]["mlp_head"]["kernel"] * 60)
+    return cfg, tuning, sel, model, params, x
+
+
+def test_fast_dense_matches_flax_complete(setup):
+    cfg, tuning, sel, model, params, x = setup
+    ref, _ = model.apply({"params": params}, x, complete_model=True)
+    got, gates = fast_vit_forward(params, x, cfg=cfg, tuning=tuning,
+                                  select=sel, mode="dense", use_pallas=False)
+    assert gates is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+    # argmax agreement (bf16 fast path vs fp32 flax)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
+def test_fast_mask_matches_flax_eval(setup):
+    cfg, tuning, sel, model, params, x = setup
+    ref, aux = model.apply({"params": params}, x)
+    got, gates = fast_vit_forward(params, x, cfg=cfg, tuning=tuning,
+                                  select=sel, mode="mask", use_pallas=False)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+    # gates identical to the flax eval gate (strip CLS to compare)
+    np.testing.assert_array_equal(
+        np.asarray(gates[:, :, 1:]),
+        np.asarray(aux["token_select"])[..., 0])
+
+
+def test_fast_dispatch_matches_flax_dispatch(setup):
+    cfg, tuning, sel, model, params, x = setup
+    ref, aux = model.apply({"params": params}, x, dispatch=True)
+    got, gates = fast_vit_forward(params, x, cfg=cfg, tuning=tuning,
+                                  select=sel, mode="dispatch",
+                                  use_pallas=False)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+    np.testing.assert_array_equal(
+        np.asarray(gates[:, :, 1:]),
+        np.asarray(aux["token_select"])[..., 0])
+
+
+def test_fast_pallas_interpret_matches_jnp(setup):
+    cfg, tuning, sel, model, params, x = setup
+    a, _ = fast_vit_forward(params, x, cfg=cfg, tuning=tuning, select=sel,
+                            mode="dispatch", use_pallas=False)
+    b, _ = fast_vit_forward(params, x, cfg=cfg, tuning=tuning, select=sel,
+                            mode="dispatch", use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                               atol=2e-2)
