@@ -71,13 +71,33 @@ def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("crop", "min_size", "max_size", "train",
-                                   "inception", "flip"))
+                                   "inception", "flip", "randaug"))
 def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
                        min_size: int = 256, max_size: int = 320,
                        train: bool = True, inception: bool = False,
-                       flip: bool = True) -> jax.Array:
-    """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] normalized float32."""
+                       flip: bool = True, randaug: str | None = None
+                       ) -> jax.Array:
+    """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] normalized float32.
+
+    ``randaug`` (e.g. "rand-m7-n4-mstd0.5-inc1", the SSv2 recipe,
+    video_datasets/video_datasets.py:58) applies the same sampled ops to every
+    frame of a clip, matching the reference's per-clip transform instance
+    (transform.py:628-662)."""
     if train:
+        if randaug is not None:
+            from dynamic_tuning_tpu.data.randaugment import (parse_config,
+                                                             rand_augment)
+            m, n_ops, mstd = parse_config(randaug)
+
+            def aug_clip(r, clip):
+                # same rng for all frames -> temporally consistent ops
+                return jax.vmap(lambda f: rand_augment(
+                    r, f, magnitude=m, num_ops=n_ops, mstd=mstd))(clip)
+
+            r_ra, rng = jax.random.split(rng)
+            ra_rngs = jax.random.split(r_ra, clips.shape[0])
+            clips = jax.vmap(aug_clip)(ra_rngs, clips).astype(jnp.uint8)
+
         def one(r, clip):
             r1, r2 = jax.random.split(r)
             out = clip_scale_jitter_crop(r1, clip, min_size=min_size,

@@ -1,0 +1,89 @@
+"""Pallas fused attention kernel for short ViT sequences.
+
+Profiling on v5e (scripts/profile_breakdown.py) shows attention is ~70% of
+the DyT ViT-B forward and the materialized fp32 softmax alone ~39% — the
+[B, H, 197, 197] score tensor round-trips HBM multiple times in the stock XLA
+lowering.  ViT sequences (197-1577 tokens) fit entirely in VMEM, so this
+kernel computes scores -> softmax -> weighted sum per (batch, head) block
+without ever writing scores to HBM.  No online-softmax tiling is needed at
+these lengths — it's a single-tile flash attention.
+
+Layout: q, k, v are [B, H, N, D] (D = head_dim).  Sequence is padded to a
+lane multiple by the wrapper; padded key columns are masked to -inf.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_n: int):
+    q = q_ref[0, 0].astype(jnp.bfloat16)        # [N, D]
+    k = k_ref[0, 0].astype(jnp.bfloat16)
+    v = v_ref[0, 0].astype(jnp.bfloat16)
+    n = q.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if valid_n < n:  # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_n, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(jnp.bfloat16)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    *, interpret: bool = False) -> jax.Array:
+    """Fused softmax(q k^T / sqrt(d)) v.
+
+    q, k, v: [B, H, N, D] (any float dtype).  Returns [B, H, N, D] in the
+    input dtype.  The full [N, N] score tile lives in VMEM (fp32), so N is
+    limited to ~2k — plenty for ViT (197), video pooling (1577) and seg (1025).
+    """
+    B, H, N, D = q.shape
+    pad_n = (-N) % 128
+    if pad_n:
+        padding = ((0, 0), (0, 0), (0, pad_n), (0, 0))
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+    Np = N + pad_n
+    scale = D ** -0.5
+
+    spec = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, valid_n=N),
+        grid=(B, H),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Np * Np * D,
+            bytes_accessed=4 * B * H * Np * D * 2,
+            transcendentals=B * H * Np * Np),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :N] if pad_n else out
+
+
+def attention_reference(q, k, v):
+    """jnp oracle (fp32 softmax)."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32)
+                      ).astype(q.dtype)

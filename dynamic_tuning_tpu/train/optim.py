@@ -80,16 +80,95 @@ def warmup_cosine_schedule(base_lr: float, min_lr: float, epochs: float,
     return schedule
 
 
+def lars(learning_rate, *, weight_decay: float = 0.0,
+         momentum: float = 0.9,
+         trust_coefficient: float = 0.001) -> optax.GradientTransformation:
+    """LARS optimizer (reference util/lars.py — unused by the live recipes but
+    part of the component inventory): layer-wise LR scaled by
+    trust * ||w|| / (||g|| + wd * ||w||), then SGD momentum.  1-D params
+    (biases, norms) skip both weight decay and the trust ratio, matching the
+    reference's ``p.ndim == 1`` exclusion."""
+
+    def init(params):
+        return optax.trace(decay=momentum, nesterov=False).init(params)
+
+    mom = optax.trace(decay=momentum, nesterov=False)
+
+    def update(grads, state, params):
+        def adjust(g, p):
+            if p.ndim <= 1:
+                return g
+            g = g + weight_decay * p
+            pn = jnp.linalg.norm(p)
+            gn = jnp.linalg.norm(g)
+            ratio = jnp.where((pn > 0) & (gn > 0),
+                              trust_coefficient * pn / gn, 1.0)
+            return g * ratio
+
+        adjusted = jax.tree_util.tree_map(adjust, grads, params)
+        updates, state = mom.update(adjusted, state, params)
+        lr = learning_rate if not callable(learning_rate) else None
+        if lr is None:
+            # schedule: track a step count inside the trace state is not
+            # possible; wrap with inject_hyperparams instead
+            raise ValueError("pass a float lr or wrap with optax.inject_hyperparams")
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def layerwise_lr_decay_mask(params, *, num_layers: int = 12,
+                            decay_rate: float = 0.65):
+    """Per-parameter LR multipliers with layer-wise decay (reference
+    util/lr_decay.py): embed/cls/pos get the deepest decay, block i gets
+    decay^(num_layers - i), head/norm get 1.0."""
+    flat = params if isinstance(params, dict) and params and \
+        isinstance(next(iter(params)), tuple) else traverse_util.flatten_dict(params)
+
+    def scale_for(path):
+        name = path[0]
+        if name in ("cls_token", "pos_embed", "patch_embed"):
+            layer = 0
+        elif name.startswith("blocks_"):
+            layer = int(name.split("_")[1]) + 1
+        else:
+            layer = num_layers + 1
+        return decay_rate ** (num_layers + 1 - layer)
+
+    return {k: scale_for(k) for k in flat}
+
+
+def scale_by_layer_decay(scales) -> optax.GradientTransformation:
+    """Chainable transform applying per-param multipliers (layer decay)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return ({k: u * scales[k] for k, u in updates.items()}, state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(base_lr: float, *, min_lr: float = 0.0, epochs: float = 100,
                    warmup_epochs: float = 20, steps_per_epoch: int = 1,
                    weight_decay: float = 0.01,
                    betas: Tuple[float, float] = (0.9, 0.999),
-                   clip_grad: float | None = None
-                   ) -> optax.GradientTransformation:
+                   clip_grad: float | None = None,
+                   layer_decay: float | None = None,
+                   params=None) -> optax.GradientTransformation:
     sched = warmup_cosine_schedule(base_lr, min_lr, epochs, warmup_epochs,
                                    steps_per_epoch)
     tx = optax.adamw(sched, b1=betas[0], b2=betas[1], eps=1e-8,
                      weight_decay=weight_decay)
+    parts = []
     if clip_grad is not None:
-        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
-    return tx
+        parts.append(optax.clip_by_global_norm(clip_grad))
+    parts.append(tx)
+    if layer_decay is not None:
+        if params is None:
+            raise ValueError("layer_decay needs the params tree")
+        parts.append(scale_by_layer_decay(
+            layerwise_lr_decay_mask(params, decay_rate=layer_decay)))
+    return optax.chain(*parts) if len(parts) > 1 else tx

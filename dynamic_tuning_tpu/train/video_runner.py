@@ -119,7 +119,8 @@ class VideoRunner:
             xb = augment_clip_batch(k, jnp.asarray(clips),
                                     crop=self.model_cfg.img_size,
                                     inception=self.cfg.data.inception_norm,
-                                    train=True)
+                                    train=True,
+                                    randaug=self.cfg.data.randaug)
             xb, yb = M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))
             self.state, parts = self.train_step(self.state, xb, yb)
             ml.update(**{k2: float(v) for k2, v in parts.items()})

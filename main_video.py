@@ -36,7 +36,12 @@ def main(args):
                         num_frames=args.num_frames,
                         sampling_rate=args.sampling_rate,
                         test_num_segment=args.test_num_segment,
-                        test_num_crop=args.test_num_crop))
+                        test_num_crop=args.test_num_crop,
+                        # SSv2 trains with RandAugment
+                        # (reference video_datasets.py:58)
+                        randaug=("rand-m7-n4-mstd0.5-inc1"
+                                 if args.dataset in ("ssv2", "sthv2")
+                                 else None)))
     runner = VideoRunner(cfg)
     if args.eval:
         return runner.evaluate()
