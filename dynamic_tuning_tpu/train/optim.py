@@ -172,3 +172,15 @@ def make_optimizer(base_lr: float, *, min_lr: float = 0.0, epochs: float = 100,
         parts.append(scale_by_layer_decay(
             layerwise_lr_decay_mask(params, decay_rate=layer_decay)))
     return optax.chain(*parts) if len(parts) > 1 else tx
+
+
+def with_grad_accumulation(tx: optax.GradientTransformation,
+                           accum_iter: int) -> optax.GradientTransformation:
+    """Gradient accumulation (reference --accum_iter,
+    engine_finetune.py:73-79: losses averaged over accum_iter micro-steps,
+    optimizer stepped every accum_iter).  optax.MultiSteps averages grads and
+    applies the inner update once per ``accum_iter`` calls — same effective
+    semantics, still one jitted step per micro-batch."""
+    if accum_iter <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=accum_iter).gradient_transformation()

@@ -97,12 +97,15 @@ class Runner:
         lr = cfg.optim.absolute_lr(eff_batch)
         self.logger.info(f"effective batch {eff_batch}; actual lr {lr:.2e}")
         self.steps_per_epoch = len(self.train_loader)
-        self.tx = make_optimizer(
+        from dynamic_tuning_tpu.train.optim import with_grad_accumulation
+        # MultiSteps advances the inner schedule once per applied step, so
+        # the schedule sees steps_per_epoch / accum_iter steps per epoch
+        self.tx = with_grad_accumulation(make_optimizer(
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,
-            steps_per_epoch=max(self.steps_per_epoch, 1),
+            steps_per_epoch=max(self.steps_per_epoch // max(cfg.accum_iter, 1), 1),
             weight_decay=cfg.optim.weight_decay, betas=cfg.optim.betas,
-            clip_grad=cfg.optim.clip_grad)
+            clip_grad=cfg.optim.clip_grad), cfg.accum_iter)
 
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
