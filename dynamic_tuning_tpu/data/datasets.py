@@ -167,6 +167,12 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False):
         return (*_pair(load_cifar100, data_path), 100, "accuracy")
     if dataset == "cifar10":
         return (*_pair(load_cifar10, data_path), 10, "accuracy")
+    # fine-grained full datasets with dedicated parsers
+    from dynamic_tuning_tpu.data.fine_grained import BUILDERS
+    if dataset in BUILDERS:
+        b = BUILDERS[dataset]
+        train, val = b(data_path, "train"), b(data_path, "test")
+        return train, val, train.num_classes, train.metric
     # VTAB task via filelists
     try:
         nc = vtab_num_classes(dataset)
