@@ -53,12 +53,19 @@ def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
     B, N, C = x.shape
     hd = C // num_heads
     qkv = _dense(_ln(x, p["norm1"]).astype(BF16), p["attn"]["qkv"])
-    qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
-                      preferred_element_type=BF16)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+    # one explicit [3,B,H,N,D] transpose + batched dot_generals beats the
+    # einsum lowering by ~27% (scripts/profile_attn2.py)
+    qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]                       # [B,H,N,D]
+    # fp32 scores+softmax cost the same as bf16 in this layout
+    # (scripts/profile_attn3.py) — keep full softmax precision
+    s = jax.lax.dot_general(q * (hd ** -0.5), k,
+                            (((3,), (3,)), ((0, 1), (0, 1))),
+                            preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(s, axis=-1).astype(BF16)
+    out = jax.lax.dot_general(attn, v, (((3,), (2,)), ((0, 1), (0, 1))),
+                              preferred_element_type=BF16)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     return _dense(out, p["attn"]["proj"]).astype(BF16)
 
 
