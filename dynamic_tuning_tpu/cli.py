@@ -51,6 +51,8 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--no_select", action="store_true",
                         help="disable the token dispatcher")
     parser.add_argument("--capacity_ratio", type=float, default=None)
+    parser.add_argument("--eval_dispatch", action="store_true",
+                        help="evaluate via the capacity-dispatch path")
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
@@ -77,6 +79,7 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
     return RunConfig(model=model, tuning=tuning, select=select, optim=optim,
                      data=data, mesh=MeshConfig(model_parallel=args.model_parallel),
                      seed=args.seed, output_dir=args.output_dir,
+                     eval_dispatch=args.eval_dispatch,
                      eval_freq=args.eval_freq, save_freq=args.save_freq,
                      resume=args.resume, finetune=args.finetune,
                      accum_iter=args.accum_iter,

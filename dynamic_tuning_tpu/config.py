@@ -156,6 +156,7 @@ class RunConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 0
     output_dir: str = "./output_dir"
+    eval_dispatch: bool = False     # evaluate via the capacity-dispatch path
     eval_freq: int = 1
     save_freq: int = 1
     resume: str = ""

@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-from dynamic_tuning_tpu.ops.dispatch import (capacity_for, gather_tokens,
-                                             scatter_tokens, select_topk)
+from dynamic_tuning_tpu.ops.dispatch import capacity_for
 from dynamic_tuning_tpu.ops.fused_mlp import fused_ln_mlp, ln_mlp_reference
 
 BF16 = jnp.bfloat16
@@ -108,18 +107,18 @@ def _block(x: jax.Array, p: Dict, *, num_heads: int, tuning: TuningConfig,
                                 gate2d, gelu_approx=gelu_approx)
 
     if routed and mode == "dispatch":
+        from dynamic_tuning_tpu.ops.dispatch import onehot_dispatch_mlp
+
         ratio = (select.capacity_ratio if select.capacity_ratio is not None
                  else select.token_target_ratio)
         K = capacity_for(N - 1, ratio)
         scores_full = jnp.concatenate(
             [jnp.full((B, 1), jnp.inf, jnp.float32), scores], axis=1)
-        idx, mask = select_topk(scores_full, K, select.threshold)
-        xg = gather_tokens(x, idx)
-        yg = run_mlp(xg.reshape(B * K, C),
-                     mask.reshape(B * K, 1).astype(x.dtype))
-        mlp_out = scatter_tokens(x, idx, yg.reshape(B, K, C), mask)
-        gate = scatter_tokens(x[..., :1], idx,
-                              jnp.ones((B, K, 1), x.dtype), mask)[..., 0]
+        mlp_out, gate = onehot_dispatch_mlp(
+            x, scores_full, K,
+            lambda rows: run_mlp(rows.reshape(-1, C), None
+                                 ).reshape(B, K, C),
+            select.threshold)
     else:
         g2d = None if gate is None else gate.reshape(B * N, 1).astype(x.dtype)
         mlp_out = run_mlp(x.reshape(B * N, C), g2d).reshape(B, N, C)

@@ -383,11 +383,12 @@ class Block(nn.Module):
                   gelu_approx=self.gelu_approx, dtype=self.dtype, name="mlp")
 
         if dispatch and gate is not None and not training:
-            # Efficient-inference path: capacity-bounded gather -> MLP on
-            # [B, K, C] -> scatter.  Real FLOPs savings with static shapes
-            # (TPU-native replacement of model_speed_test.py:243-310).
-            from dynamic_tuning_tpu.ops.dispatch import (
-                capacity_for, gather_tokens, scatter_tokens, select_topk)
+            # Efficient-inference path: capacity-bounded dispatch with the
+            # gather/scatter expressed as one-hot matmuls — MXU-native, near
+            # zero overhead on TPU (ops/dispatch.py::onehot_dispatch_mlp;
+            # TPU-native replacement of model_speed_test.py:243-310).
+            from dynamic_tuning_tpu.ops.dispatch import (capacity_for,
+                                                         onehot_dispatch_mlp)
 
             B, N, _ = x.shape
             ratio = (self.select_cfg.capacity_ratio
@@ -397,13 +398,13 @@ class Block(nn.Module):
             scores = jnp.concatenate(
                 [jnp.full((B, 1), jnp.inf, jnp.float32),
                  jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))], axis=1)
-            idx, mask = select_topk(scores, K, self.select_cfg.threshold)
-            xg = gather_tokens(x, idx)
-            yg = mlp(norm2(xg).astype(self.dtype), deterministic=True)
-            mlp_x = scatter_tokens(x, idx, yg, mask)
+            mlp_x, eff_gate = onehot_dispatch_mlp(
+                x, scores, K,
+                lambda rows: mlp(norm2(rows).astype(self.dtype),
+                                 deterministic=True),
+                self.select_cfg.threshold)
             # effective gate (what was actually computed), for accounting
-            gate = scatter_tokens(x[..., :1], idx,
-                                  jnp.ones_like(mask, x.dtype)[..., None], mask)
+            gate = eff_gate[..., None]
         else:
             mlp_x = mlp(norm2(x).astype(self.dtype), deterministic=deterministic)
             mlp_x = DropPath(self.drop_path, name="drop_path2")(

@@ -85,3 +85,35 @@ def dispatch_mlp(x: jax.Array, scores: jax.Array, capacity: int,
     xg = gather_tokens(x, idx)
     yg = mlp_fn(xg)
     return scatter_tokens(x, idx, yg, mask)
+
+
+def onehot_dispatch_mlp(x: jax.Array, scores: jax.Array, capacity: int,
+                        mlp_fn: Callable[[jax.Array], jax.Array],
+                        threshold: float = 0.5
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """MXU-native dispatch: gather AND scatter as one-hot matmuls.
+
+    Profiled on v5e (scripts/profile_attn5.py): memory-op gather/scatter costs
+    more than the skipped-MLP savings (1583us vs 1556us full), while the
+    one-hot matmul form hits the contiguous-K floor (1062us vs 1043us) — the
+    dispatch permutation rides the systolic array for free.
+
+    The threshold mask folds into the one-hot matrix: masked slots gather a
+    zero row (their MLP output is discarded by the zero scatter row), so
+    semantics equal the reference's sigmoid>threshold gate whenever the kept
+    count fits the capacity.
+
+    Returns (mlp_contribution [B,N,C], effective_gate [B,N]).
+    """
+    B, N, C = x.shape
+    vals, idx = jax.lax.top_k(scores, capacity)
+    keep = (vals > threshold).astype(x.dtype)
+    oh = jax.nn.one_hot(idx, N, dtype=x.dtype) * keep[..., None]   # [B,K,N]
+    xg = jax.lax.dot_general(oh, x, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=x.dtype)       # [B,K,C]
+    yg = mlp_fn(xg)
+    out = jax.lax.dot_general(oh, yg.astype(x.dtype),
+                              (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=x.dtype)      # [B,N,C]
+    gate = oh.sum(axis=1)                                          # [B,N] 0/1
+    return out, gate

@@ -102,8 +102,9 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(apply_fn: Callable) -> Callable:
-    """Eval forward: deterministic sigmoid>0.5 gate (mask-multiply form).
+def make_eval_step(apply_fn: Callable, dispatch: bool = False) -> Callable:
+    """Eval forward: deterministic sigmoid>0.5 gate (mask-multiply form), or
+    the capacity-bounded dispatch path when ``dispatch=True``.
 
     Returns per-example logits and the gate stack for FLOPs accounting
     (engine_finetune.py:229-248).
@@ -113,7 +114,7 @@ def make_eval_step(apply_fn: Callable) -> Callable:
                   ) -> Tuple[jax.Array, Optional[jax.Array]]:
         params = merge_params(trainable, frozen)
         logits, aux = apply_fn(params, images, rngs=None, training=False,
-                               complete_model=False)
+                               complete_model=False, dispatch=dispatch)
         return logits, aux["token_select"]
 
     return eval_step
@@ -123,9 +124,10 @@ def model_apply_fn(model) -> Callable:
     """Adapt a linen model to the engine's apply signature."""
 
     def apply_fn(params, images, *, rngs=None, training=False,
-                 complete_model=False):
+                 complete_model=False, dispatch=False):
         variables = {"params": params}
         return model.apply(variables, images, training=training,
-                           complete_model=complete_model, rngs=rngs)
+                           complete_model=complete_model, dispatch=dispatch,
+                           rngs=rngs)
 
     return apply_fn
