@@ -80,6 +80,8 @@ class ModelConfig:
     gelu_approx: bool = False               # tanh GELU (VPU-cheap) vs exact erf
     residual_dtype: str = "float32"         # "bfloat16" halves residual HBM
                                             # traffic (inference-safe)
+    remat: bool = False                     # rematerialize blocks in backward
+                                            # (jax.checkpoint) for big batches
     # video settings
     num_frames: int = 1                     # >1 enables the video path
     tubelet_size: int = 1

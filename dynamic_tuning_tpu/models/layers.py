@@ -350,9 +350,11 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, training: bool = False,
+    def __call__(self, x: jax.Array, training: bool = False,
                  complete_model: bool = False, dispatch: bool = False
                  ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+        # NOTE: mode flags are positional (not keyword-only) so nn.remat can
+        # mark them static via static_argnums
         dim = x.shape[-1]
         deterministic = not training
 

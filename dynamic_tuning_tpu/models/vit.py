@@ -81,17 +81,19 @@ class VisionTransformer(nn.Module):
         # stochastic-depth decay rule; static python floats (not traced)
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
                for i in range(cfg.depth)]
+        # static_argnums indexes the bound call (module, x, training,
+        # complete_model, dispatch) -> flags at 2, 3, 4
+        block_cls = (nn.remat(Block, static_argnums=(2, 3, 4))
+                     if cfg.remat and training else Block)
         for i in range(cfg.depth):
             sel = self.select.open and i >= self.select.keep_layers
-            x, gate, logits = Block(
+            x, gate, logits = block_cls(
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
                 gelu_approx=cfg.gelu_approx,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
-                name=f"blocks_{i}")(x, training=training,
-                                    complete_model=complete_model,
-                                    dispatch=dispatch)
+                name=f"blocks_{i}")(x, training, complete_model, dispatch)
             if gate is not None:
                 gates.append(gate)
                 logits_all.append(logits)

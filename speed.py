@@ -56,21 +56,28 @@ def main(args):
         else:
             params = C.load_params(args.ckpt)
 
-    @jax.jit
-    def fwd(p, xx):
-        logits, _ = model.apply({"params": p}, xx,
-                                complete_model=(args.mode == "dense"),
-                                dispatch=(args.mode == "dispatch"))
-        return logits.sum()
+    from dynamic_tuning_tpu.utils.profiling import scan_throughput
 
-    for _ in range(args.warmup):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        _ = float(fwd(params, x))   # hard per-iteration fence
-    dt = time.perf_counter() - t0
-    ips = args.batch_size * args.iters / dt
+    if args.compute_dtype == "bfloat16":
+        # hand-optimized inference forward (models/fast_inference.py)
+        from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
+
+        mcfg = model.cfg
+
+        def fwd(p, xx):
+            logits, _ = fast_vit_forward(p, xx, cfg=mcfg,
+                                         tuning=model.tuning, select=sel,
+                                         mode=args.mode, use_pallas=False)
+            return logits.sum()
+    else:
+        def fwd(p, xx):
+            logits, _ = model.apply({"params": p}, xx,
+                                    complete_model=(args.mode == "dense"),
+                                    dispatch=(args.mode == "dispatch"))
+            return logits.sum()
+
+    ips = scan_throughput(fwd, (params, x), batch=args.batch_size,
+                          iters=args.iters)
     print(json.dumps({"mode": args.mode, "throughput_img_s": round(ips, 2),
                       "batch_size": args.batch_size}))
     return ips
