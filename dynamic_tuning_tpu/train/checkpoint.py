@@ -235,6 +235,74 @@ def load_params(path: str) -> Params:
         return serialization.msgpack_restore(f.read())
 
 
+# ---------------------------------------------------------------------------
+# torch .pth export (cross-framework compat)
+# ---------------------------------------------------------------------------
+
+def _flax_path_to_torch(path: Tuple[str, ...]) -> Optional[str]:
+    """Inverse of _torch_key_to_flax for the ViT param tree."""
+    parts = list(path)
+    prefix = ""
+    if parts[0].startswith("blocks_"):
+        prefix = f"blocks.{parts[0].split('_')[1]}."
+        parts = parts[1:]
+    inv = {
+        ("cls_token",): "cls_token",
+        ("pos_embed",): "pos_embed",
+        ("patch_embed", "proj", "kernel"): "patch_embed.proj.weight",
+        ("patch_embed", "proj", "bias"): "patch_embed.proj.bias",
+        ("norm", "scale"): "norm.weight",
+        ("norm", "bias"): "norm.bias",
+        ("head", "kernel"): "head.weight",
+        ("head", "bias"): "head.bias",
+        ("norm1", "scale"): "norm1.weight",
+        ("norm1", "bias"): "norm1.bias",
+        ("norm2", "scale"): "norm2.weight",
+        ("norm2", "bias"): "norm2.bias",
+        ("attn", "qkv", "kernel"): "attn.qkv.weight",
+        ("attn", "qkv", "bias"): "attn.qkv.bias",
+        ("attn", "proj", "kernel"): "attn.proj.weight",
+        ("attn", "proj", "bias"): "attn.proj.bias",
+        ("mlp", "fc1", "kernel"): "mlp.fc1.weight",
+        ("mlp", "fc1", "bias"): "mlp.fc1.bias",
+        ("mlp", "fc2", "kernel"): "mlp.fc2.weight",
+        ("mlp", "fc2", "bias"): "mlp.fc2.bias",
+        ("adaptmlp", "down_proj", "kernel"): "adaptmlp.down_proj.weight",
+        ("adaptmlp", "down_proj", "bias"): "adaptmlp.down_proj.bias",
+        ("adaptmlp", "up_proj", "kernel"): "adaptmlp.up_proj.weight",
+        ("adaptmlp", "up_proj", "bias"): "adaptmlp.up_proj.bias",
+        ("mlp_token_select", "mlp_head", "kernel"):
+            "mlp_token_select.mlp_head.weight",
+        ("mlp_token_select", "mlp_head", "bias"):
+            "mlp_token_select.mlp_head.bias",
+    }
+    key = inv.get(tuple(parts))
+    return prefix + key if key else None
+
+
+def export_torch_state_dict(params: Params, path: str) -> int:
+    """Write the param tree as a reference-layout torch ``.pth`` so checkpoints
+    round-trip between the frameworks (kernels transposed back to [out, in],
+    conv back to OIHW).  Returns the number of exported tensors."""
+    import torch
+
+    flat = traverse_util.flatten_dict(params)
+    sd = {}
+    for p, w in flat.items():
+        tkey = _flax_path_to_torch(p)
+        if tkey is None:
+            continue
+        w = np.asarray(w)
+        if p[-1] == "kernel":
+            if w.ndim == 2:
+                w = np.ascontiguousarray(w.T)
+            elif w.ndim == 4:
+                w = np.ascontiguousarray(w.transpose(3, 2, 0, 1))  # HWIO->OIHW
+        sd[tkey] = torch.tensor(w)
+    torch.save({"model": sd}, path)
+    return len(sd)
+
+
 def _nested(flat_or_tree):
     if isinstance(flat_or_tree, dict) and flat_or_tree and \
             isinstance(next(iter(flat_or_tree)), tuple):

@@ -14,9 +14,10 @@ from dynamic_tuning_tpu.ops.dispatch import (capacity_for, dispatch_mlp,
 
 
 def test_capacity_rounding():
-    assert capacity_for(196, 0.5) == 112          # ceil(98)+1 -> 112
+    assert capacity_for(196, 0.5) == 104          # ceil(98)+1 -> 104 (mult 8)
     assert capacity_for(196, 1.0) == 197          # clamped to T+1
-    assert capacity_for(16, 0.25) == 16           # ceil(4)+1=5 -> 16
+    assert capacity_for(16, 0.25) == 8            # ceil(4)+1=5 -> 8
+    assert capacity_for(196, 0.5, multiple=16) == 112
 
 
 def test_select_topk_threshold_mask():
