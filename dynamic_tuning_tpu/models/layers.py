@@ -345,9 +345,17 @@ class Block(nn.Module):
     select: bool = True
     window_size: Optional[Tuple[int, int]] = None
     gelu_approx: bool = False
+    init_values: Optional[float] = None      # LayerScale (reference :78-85)
     tuning: TuningConfig = TuningConfig()
     select_cfg: SelectConfig = SelectConfig()
     dtype: Dtype = jnp.bfloat16
+
+    def _layer_scale(self, name: str, x: jax.Array) -> jax.Array:
+        if self.init_values is None:
+            return x
+        gamma = self.param(name, nn.initializers.constant(self.init_values),
+                           (x.shape[-1],), jnp.float32)
+        return x * gamma.astype(x.dtype)
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False,
@@ -364,7 +372,7 @@ class Block(nn.Module):
                       dtype=self.dtype, name="attn")(
                           h.astype(self.dtype), deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(
-            h, deterministic=deterministic)
+            self._layer_scale("ls1_gamma", h), deterministic=deterministic)
 
         gate, logits = None, None
         # Teacher (complete_model) pass: the reference still evaluates the
@@ -402,15 +410,17 @@ class Block(nn.Module):
                  jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))], axis=1)
             mlp_x, eff_gate = onehot_dispatch_mlp(
                 x, scores, K,
-                lambda rows: mlp(norm2(rows).astype(self.dtype),
-                                 deterministic=True),
+                lambda rows: self._layer_scale(
+                    "ls2_gamma", mlp(norm2(rows).astype(self.dtype),
+                                     deterministic=True)),
                 self.select_cfg.threshold)
             # effective gate (what was actually computed), for accounting
             gate = eff_gate[..., None]
         else:
             mlp_x = mlp(norm2(x).astype(self.dtype), deterministic=deterministic)
             mlp_x = DropPath(self.drop_path, name="drop_path2")(
-                mlp_x, deterministic=deterministic)
+                self._layer_scale("ls2_gamma", mlp_x),
+                deterministic=deterministic)
             if gate is not None and not complete_model:
                 mlp_x = gate.astype(mlp_x.dtype) * mlp_x
 
