@@ -143,6 +143,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     window_size: Optional[Tuple[int, int]] = None
+    qv_bias_only: bool = False   # BEiT-style: q/v biases, k bias fixed zero
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -151,8 +152,19 @@ class Attention(nn.Module):
         head_dim = C // self.num_heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+        use_fused_bias = self.qkv_bias and not self.qv_bias_only
+        qkv = nn.Dense(3 * C, use_bias=use_fused_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="qkv")(x)
+        if self.qkv_bias and self.qv_bias_only:
+            # BEiT attention (reference dense_tasks/.../backbone/beit.py):
+            # separate q_bias/v_bias params, k bias identically zero
+            q_bias = self.param("q_bias", nn.initializers.zeros_init(),
+                                (C,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros_init(),
+                                (C,), jnp.float32)
+            bias = jnp.concatenate([q_bias, jnp.zeros((C,), jnp.float32),
+                                    v_bias]).astype(qkv.dtype)
+            qkv = qkv + bias
         # explicit [3,B,H,N,D] layout + batched dot_general: ~27% faster than
         # the einsum lowering on TPU (scripts/profile_attn2.py), numerically
         # identical
@@ -346,6 +358,7 @@ class Block(nn.Module):
     window_size: Optional[Tuple[int, int]] = None
     gelu_approx: bool = False
     init_values: Optional[float] = None      # LayerScale (reference :78-85)
+    qv_bias_only: bool = False               # BEiT-style attention biases
     tuning: TuningConfig = TuningConfig()
     select_cfg: SelectConfig = SelectConfig()
     dtype: Dtype = jnp.bfloat16
@@ -369,6 +382,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
                       self.proj_drop, window_size=self.window_size,
+                      qv_bias_only=self.qv_bias_only,
                       dtype=self.dtype, name="attn")(
                           h.astype(self.dtype), deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(

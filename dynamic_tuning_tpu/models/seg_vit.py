@@ -30,6 +30,15 @@ from dynamic_tuning_tpu.train.losses import token_budget_loss
 Dtype = Any
 
 
+def default_out_indices(depth: int) -> Tuple[int, ...]:
+    """Reference default (3, 5, 7, 11) at depth 12 (:342); shallow backbones
+    tap the last 4 blocks."""
+    if depth >= 12:
+        return (3, 5, 7, 11)
+    idx = tuple(sorted({max(0, depth * (k + 1) // 4 - 1) for k in range(4)}))
+    return idx if len(idx) == 4 else tuple(range(max(0, depth - 4), depth))
+
+
 class SegVisionTransformer(nn.Module):
     """Backbone forward: NHWC image -> 4 feature maps (strides 4/8/16/32)
     + token-select dict with the budget loss."""
@@ -37,8 +46,14 @@ class SegVisionTransformer(nn.Module):
     cfg: ModelConfig
     tuning: TuningConfig = TuningConfig()
     select: SelectConfig = SelectConfig()
-    out_indices: Tuple[int, ...] = (3, 5, 7, 11)
+    out_indices: Optional[Tuple[int, ...]] = None   # None -> derived
     use_rel_pos_bias: bool = True
+    # BEiT-variant knobs (reference backbone/beit.py, the importable
+    # alternative backbone): layer-scale, q/v-only attention biases, no
+    # absolute pos-embed (rel-pos bias carries position)
+    use_abs_pos_embed: bool = True
+    init_values: Optional[float] = None
+    qv_bias_only: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -56,11 +71,14 @@ class SegVisionTransformer(nn.Module):
                          (1, 1, cfg.embed_dim), jnp.float32)
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.embed_dim)), x],
                             axis=1)
-        pos = self.param("pos_embed", nn.initializers.normal(stddev=0.02),
-                         (1, hp * wp + 1, cfg.embed_dim), jnp.float32)
-        x = x + pos
+        if self.use_abs_pos_embed:
+            pos = self.param("pos_embed", nn.initializers.normal(stddev=0.02),
+                             (1, hp * wp + 1, cfg.embed_dim), jnp.float32)
+            x = x + pos
         x = nn.Dropout(cfg.pos_drop_rate)(x, deterministic=not training)
 
+        out_indices = (self.out_indices if self.out_indices is not None
+                       else default_out_indices(cfg.depth))
         feats: List[jax.Array] = []
         gates, logits_all = [], []
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
@@ -72,14 +90,13 @@ class SegVisionTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
                 window_size=(hp, wp) if self.use_rel_pos_bias else None,
+                init_values=self.init_values, qv_bias_only=self.qv_bias_only,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
-                name=f"blocks_{i}")(x, training=training,
-                                    complete_model=complete_model,
-                                    dispatch=dispatch)
+                name=f"blocks_{i}")(x, training, complete_model, dispatch)
             if gate is not None:
                 gates.append(gate)
                 logits_all.append(logits)
-            if i in self.out_indices:
+            if i in out_indices:
                 feats.append(x[:, 1:, :].reshape(B, hp, wp, cfg.embed_dim))
 
         # simpleFPN necks (reference :435-445)
@@ -108,3 +125,15 @@ class SegVisionTransformer(nn.Module):
                    loss=loss)
         feats_out = tuple(f.astype(jnp.float32) for f in (f1, f2, f3, f4))
         return feats_out, aux
+
+
+def beit_backbone(cfg: ModelConfig, tuning: TuningConfig = TuningConfig(),
+                  select: SelectConfig = SelectConfig(),
+                  dtype: Dtype = jnp.bfloat16) -> SegVisionTransformer:
+    """BEiT-style alternative segmentation backbone (reference
+    dense_tasks/Segmentation/backbone/beit.py): rel-pos-bias attention with
+    q/v-only biases, LayerScale (init 0.1), no absolute pos-embed."""
+    return SegVisionTransformer(cfg, tuning=tuning, select=select,
+                                use_rel_pos_bias=True,
+                                use_abs_pos_embed=False, init_values=0.1,
+                                qv_bias_only=True, dtype=dtype)

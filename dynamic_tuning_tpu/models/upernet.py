@@ -144,19 +144,9 @@ class DyTSegmentor(nn.Module):
     def __call__(self, x: jax.Array, *, training: bool = False,
                  complete_model: bool = False, dispatch: bool = False
                  ) -> Tuple[jax.Array, jax.Array, Dict]:
-        if self.out_indices is not None:
-            out_indices = self.out_indices
-        elif self.cfg.depth >= 12:
-            out_indices = (3, 5, 7, 11)      # reference default (:342)
-        else:  # shallow backbones: last 4 evenly spread
-            d = self.cfg.depth
-            out_indices = tuple(sorted({max(0, d * (k + 1) // 4 - 1)
-                                        for k in range(4)}))[:4]
-            if len(out_indices) < 4:
-                out_indices = tuple(range(max(0, d - 4), d))
         feats, aux = SegVisionTransformer(
             self.cfg, tuning=self.tuning, select=self.select,
-            out_indices=out_indices,
+            out_indices=self.out_indices,   # None -> derived in the backbone
             use_rel_pos_bias=self.use_rel_pos_bias, dtype=self.dtype,
             name="backbone")(x, training=training,
                              complete_model=complete_model, dispatch=dispatch)
