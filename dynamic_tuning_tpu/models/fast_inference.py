@@ -38,6 +38,22 @@ def _ln(x: jax.Array, p: Dict) -> jax.Array:
     return ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"])
 
 
+def _ln_dense_folded(x: jax.Array, ln_p: Dict, dense_p: Dict) -> jax.Array:
+    """dense(LN(x)) with the LN affine folded into the matmul:
+    LN(x)@W + b == normalize(x)@(scale*W) + (bias@W + b) — saves two
+    elementwise passes over the activations; the folded weights are
+    loop-invariant so XLA hoists the folding out of serving loops."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(BF16)
+    kernel = dense_p["kernel"].astype(jnp.float32)
+    w = (ln_p["scale"][:, None] * kernel).astype(BF16)
+    b = dense_p["bias"] + ln_p["bias"] @ kernel
+    y = jnp.dot(xn, w, preferred_element_type=jnp.float32)
+    return y + b.astype(jnp.float32)
+
+
 def _dense(x: jax.Array, p: Dict) -> jax.Array:
     y = jnp.dot(x.astype(BF16), p["kernel"].astype(BF16),
                 preferred_element_type=jnp.float32)
@@ -51,7 +67,7 @@ def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
     inference-safe."""
     B, N, C = x.shape
     hd = C // num_heads
-    qkv = _dense(_ln(x, p["norm1"]).astype(BF16), p["attn"]["qkv"])
+    qkv = _ln_dense_folded(x, p["norm1"], p["attn"]["qkv"])
     # one explicit [3,B,H,N,D] transpose + batched dot_generals beats the
     # einsum lowering by ~27% (scripts/profile_attn2.py)
     qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
@@ -101,10 +117,12 @@ def _block(x: jax.Array, p: Dict, *, num_heads: int, tuning: TuningConfig,
                                 mp["fc2"]["kernel"], mp["fc2"]["bias"],
                                 gate2d, gelu_approx=gelu_approx,
                                 interpret=interpret)
-        return ln_mlp_reference(rows2d, ln2["scale"], ln2["bias"],
-                                mp["fc1"]["kernel"], mp["fc1"]["bias"],
-                                mp["fc2"]["kernel"], mp["fc2"]["bias"],
-                                gate2d, gelu_approx=gelu_approx)
+        h = _ln_dense_folded(rows2d, ln2, mp["fc1"])
+        h = jax.nn.gelu(h, approximate=gelu_approx)
+        y = _dense(h.astype(BF16), mp["fc2"])
+        if gate2d is not None:
+            y = y * gate2d.astype(jnp.float32)
+        return y.astype(rows2d.dtype)
 
     if routed and mode == "dispatch":
         from dynamic_tuning_tpu.ops.dispatch import onehot_dispatch_mlp
