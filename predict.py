@@ -1,0 +1,106 @@
+"""Batch inference / serving entry point.
+
+Classify images with a trained DyT checkpoint using the optimized
+capacity-dispatch forward — the deployment-facing counterpart of the training
+CLIs (no reference equivalent; the reference stops at eval loops).
+
+Usage:
+  python predict.py --ckpt final_checkpoint.msgpack --images dir_or_file \
+      [--nb_classes 100] [--mode dispatch] [--batch_size 64]
+
+Prints one JSON line per image: {"path", "label", "prob", "keep_ratio"}.
+"""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.data.transforms import augment_batch
+from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+from dynamic_tuning_tpu.train import checkpoint as C
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DyT inference", add_help=False)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--images", required=True, help="image file or directory")
+    p.add_argument("--nb_classes", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--mode", default="dispatch",
+                   choices=["dispatch", "mask", "dense"])
+    p.add_argument("--ffn_num", type=int, default=64)
+    p.add_argument("--token_target_ratio", type=float, default=0.5)
+    p.add_argument("--capacity_ratio", type=float, default=None)
+    p.add_argument("--inception", action="store_true")
+    return p
+
+
+def _list_images(path):
+    if os.path.isfile(path):
+        return [path]
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    return [os.path.join(path, f) for f in sorted(os.listdir(path))
+            if f.lower().endswith(exts)]
+
+
+def _load_canvas(path, canvas=256):
+    from dynamic_tuning_tpu.data.native_loader import available, decode_resize
+
+    if available():
+        img = decode_resize(path, canvas)
+        if img is not None:
+            return img
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((canvas, canvas))
+    return np.asarray(img, np.uint8)
+
+
+def main(args):
+    cfg = ModelConfig(num_classes=args.nb_classes, gelu_approx=True,
+                      residual_dtype="bfloat16")
+    tuning = TuningConfig(ffn_num=args.ffn_num)
+    sel = SelectConfig(token_target_ratio=args.token_target_ratio,
+                       capacity_ratio=args.capacity_ratio)
+    model = VisionTransformer(cfg, tuning=tuning, select=sel,
+                              dtype=jnp.bfloat16)
+    sample = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+    if args.ckpt.endswith((".pth", ".pt")):
+        params, _ = C.import_pretrained(params,
+                                        C.load_torch_state_dict(args.ckpt))
+    else:
+        loaded = C.load_params(args.ckpt)
+        params = loaded.get("params", loaded)
+
+    paths = _list_images(args.images)
+    results = []
+    for i in range(0, len(paths), args.batch_size):
+        chunk = paths[i:i + args.batch_size]
+        imgs = np.stack([_load_canvas(p) for p in chunk])
+        xb = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                           out_size=224, inception=args.inception,
+                           train=False)
+        logits, gates = fast_vit_forward(params, xb, cfg=cfg, tuning=tuning,
+                                         select=sel, mode=args.mode,
+                                         use_pallas=False)
+        probs = jax.nn.softmax(logits, -1)
+        keep = (np.asarray(gates).mean(axis=(1, 2))
+                if gates is not None else np.full(len(chunk), 1.0))
+        for j, p in enumerate(chunk):
+            r = {"path": p, "label": int(jnp.argmax(logits[j])),
+                 "prob": round(float(probs[j].max()), 4),
+                 "keep_ratio": round(float(keep[j]), 3)}
+            results.append(r)
+            print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
