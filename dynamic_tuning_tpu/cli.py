@@ -8,7 +8,6 @@ the dataclass config tree.  Flags keep the reference names so recipes port
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from dynamic_tuning_tpu.config import (DataConfig, MeshConfig, ModelConfig,
                                        OptimConfig, RunConfig, SelectConfig,

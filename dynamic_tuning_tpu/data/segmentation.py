@@ -14,7 +14,7 @@ ignore) and does only the normalize.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ resize here is bilinear via one ``scale_and_translate`` per image.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

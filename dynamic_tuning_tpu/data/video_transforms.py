@@ -11,7 +11,6 @@ consistency, as in the reference).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

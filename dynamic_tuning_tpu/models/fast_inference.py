@@ -19,14 +19,14 @@ tests pin it against the flax forward.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
 from dynamic_tuning_tpu.ops.dispatch import capacity_for
-from dynamic_tuning_tpu.ops.fused_mlp import fused_ln_mlp, ln_mlp_reference
+from dynamic_tuning_tpu.ops.fused_mlp import fused_ln_mlp
 
 BF16 = jnp.bfloat16
 
@@ -61,10 +61,8 @@ def _dense(x: jax.Array, p: Dict) -> jax.Array:
 
 
 def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
-    """bf16 scores+softmax: profiling (scripts/profile_attn.py) shows the
-    materialized [B,H,N,N] tensor is HBM-bound — bf16 halves its traffic
-    (~35% faster than fp32 softmax) at bf16-level prob error, which is
-    inference-safe."""
+    """Pretransposed batched-dot_general attention with fp32 softmax (free in
+    this layout, scripts/profile_attn3.py) and LN folded into the qkv matmul."""
     B, N, C = x.shape
     hd = C // num_heads
     qkv = _ln_dense_folded(x, p["norm1"], p["attn"]["qkv"])

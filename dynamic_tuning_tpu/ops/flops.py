@@ -13,7 +13,7 @@ for ViT-B" denominator (engine_finetune.py:345).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

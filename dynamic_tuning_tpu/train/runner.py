@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from dynamic_tuning_tpu.models.vit import VisionTransformer
 from dynamic_tuning_tpu.ops.flops import batch_select_flops, dense_vit_flops
 from dynamic_tuning_tpu.parallel import mesh as M
 from dynamic_tuning_tpu.train import checkpoint as C
-from dynamic_tuning_tpu.train.engine import (TrainState, create_train_state,
+from dynamic_tuning_tpu.train.engine import (create_train_state,
                                              make_eval_step, make_train_step,
                                              model_apply_fn)
 from dynamic_tuning_tpu.train.optim import (count_params, make_optimizer,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

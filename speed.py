@@ -8,7 +8,6 @@ efficient-inference model is the capacity-bounded dispatch path
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
