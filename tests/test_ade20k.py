@@ -1,0 +1,63 @@
+"""ADE20K pipeline tests against a synthesized mini dataset on disk
+(reference mmseg ADE20KDataset + train_pipeline semantics)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dynamic_tuning_tpu.data.segmentation import ADE20KDataset, seg_normalize
+
+
+@pytest.fixture(scope="module")
+def ade_root(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ade")
+    rs = np.random.RandomState(0)
+    for split in ["training", "validation"]:
+        (d / "images" / split).mkdir(parents=True)
+        (d / "annotations" / split).mkdir(parents=True)
+        for i in range(3):
+            img = rs.randint(0, 256, (120, 160, 3), np.uint8)
+            ann = rs.randint(0, 5, (120, 160)).astype(np.uint8)
+            ann[0, 0] = 0      # background -> must become 255 (ignore)
+            Image.fromarray(img).save(d / "images" / split / f"im{i}.jpg")
+            Image.fromarray(ann).save(d / "annotations" / split / f"im{i}.png")
+    return str(d)
+
+
+def test_train_sample_geometry_and_labels(ade_root):
+    ds = ADE20KDataset(ade_root, "training", crop=64, train=True,
+                       base_scale=(256, 64))
+    assert len(ds) == 3
+    img, ann = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert ann.shape == (64, 64) and ann.dtype == np.uint8
+    valid = ann[ann != 255]
+    assert valid.size > 0
+    # reduce_zero_label: raw labels 1..4 -> 0..3
+    assert valid.max() <= 3
+
+
+def test_train_samples_stochastic(ade_root):
+    ds = ADE20KDataset(ade_root, "training", crop=64, train=True,
+                       base_scale=(256, 64))
+    a, _ = ds[0]
+    b, _ = ds[0]
+    assert not np.array_equal(a, b)   # random crop/flip/photometric
+
+
+def test_eval_sample_keeps_aspect(ade_root):
+    ds = ADE20KDataset(ade_root, "validation", crop=64, train=False,
+                       base_scale=(256, 64))
+    img, ann = ds[0]
+    assert img.shape[:2] == ann.shape
+    # keep-ratio: 120x160 scaled so the short side ~64
+    assert min(img.shape[:2]) == 64 or max(img.shape[:2]) == 256
+
+
+def test_seg_normalize_mean_std():
+    import jax.numpy as jnp
+
+    x = jnp.full((2, 2, 3), 255, jnp.uint8)
+    out = seg_normalize(x)
+    np.testing.assert_allclose(np.asarray(out), (255 - 127.5) / 127.5,
+                               rtol=1e-6)
