@@ -170,14 +170,14 @@ def fast_vit_forward(params: Dict, x: jax.Array, *, cfg: ModelConfig,
     h = jnp.concatenate([cls, tokens], axis=1) + params["pos_embed"]
     h = h.astype(BF16)
 
-    gates = []
+    gates = []   # collected as fp32: bf16 sums saturate at 256 in accounting
     for i in range(cfg.depth):
         h, gate = _block(h, params[f"blocks_{i}"], num_heads=cfg.num_heads,
                          tuning=tuning, select=select, mode=mode,
                          use_pallas=use_pallas, interpret=interpret,
                          gelu_approx=cfg.gelu_approx)
         if gate is not None:
-            gates.append(gate)
+            gates.append(gate.astype(jnp.float32))
 
     h = _ln(h, params["norm"])
     pooled = h[:, 0]

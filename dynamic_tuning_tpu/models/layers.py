@@ -428,8 +428,9 @@ class Block(nn.Module):
                     "ls2_gamma", mlp(norm2(rows).astype(self.dtype),
                                      deterministic=True)),
                 self.select_cfg.threshold)
-            # effective gate (what was actually computed), for accounting
-            gate = eff_gate[..., None]
+            # effective gate (what was actually computed), for accounting —
+            # fp32 so downstream means/sums don't saturate in bf16
+            gate = eff_gate[..., None].astype(jnp.float32)
         else:
             mlp_x = mlp(norm2(x).astype(self.dtype), deterministic=deterministic)
             mlp_x = DropPath(self.drop_path, name="drop_path2")(
