@@ -126,10 +126,14 @@ class VideoRunner:
             ml.update(**{k2: float(v) for k2, v in parts.items()})
         return {k2: m.global_avg for k2, m in ml.meters.items()}
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, save_views_dir: str | None = None) -> Dict[str, float]:
+        """Multi-view eval; optionally persists per-view outputs for offline
+        merging across processes (reference final_test/merge,
+        engine_finetune.py:360-534 -> utils/multiview.py)."""
         all_logits, all_labels = [], []
         gflops, keeps = [], []
         T = self.cfg.data.num_frames
+        clip_offset = 0
         for clips, labels in self.val_loader:
             B, V = clips.shape[0], clips.shape[1]
             flat = jnp.asarray(clips).reshape(B * V, *clips.shape[2:])
@@ -139,7 +143,15 @@ class VideoRunner:
                                     train=False)
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
-            logits = np.asarray(logits).reshape(B, V, -1).mean(axis=1)
+            per_view = np.asarray(logits).reshape(B, V, -1)
+            if save_views_dir:
+                from dynamic_tuning_tpu.utils.multiview import save_view_outputs
+                ids = np.repeat(np.arange(clip_offset, clip_offset + B), V)
+                save_view_outputs(save_views_dir, jax.process_index(), ids,
+                                  per_view.reshape(B * V, -1),
+                                  np.repeat(np.asarray(labels), V))
+            clip_offset += B
+            logits = per_view.mean(axis=1)
             all_logits.append(logits)
             all_labels.append(np.asarray(labels))
             if token_select is not None:
