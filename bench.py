@@ -21,11 +21,12 @@ import jax.numpy as jnp
 
 BATCH = 128
 WARMUP = 5
-ITERS = 15
+ITERS = 30
+REPEATS = 5
 
 
 def _scan_bench(apply_once, params, x, batch: int, iters: int = ITERS,
-                repeats: int = 3) -> float:
+                repeats: int = REPEATS) -> float:
     """img/s via a single jitted ``lax.scan`` of ``iters`` serialized forwards.
 
     Per-iteration host fencing (the reference's cuda.synchronize pattern,
@@ -81,10 +82,9 @@ def main():
         return fn
 
     def bench_mode(mode):
-        try:
-            return _scan_bench(make_fn(mode, True), params, x, BATCH)
-        except Exception:
-            return _scan_bench(make_fn(mode, False), params, x, BATCH)
+        # XLA's fused lowering beats the hand Pallas MLP kernel in context
+        # (scripts/profile_breakdown.py: 49.8 vs 50.6 ms) — use it
+        return _scan_bench(make_fn(mode, False), params, x, BATCH)
 
     dense_ips = bench_mode("dense")
     dyt_ips = bench_mode("dispatch")

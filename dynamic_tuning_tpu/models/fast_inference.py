@@ -148,7 +148,7 @@ def _block(x: jax.Array, p: Dict, *, num_heads: int, tuning: TuningConfig,
 def fast_vit_forward(params: Dict, x: jax.Array, *, cfg: ModelConfig,
                      tuning: TuningConfig = TuningConfig(),
                      select: SelectConfig = SelectConfig(),
-                     mode: str = "dispatch", use_pallas: bool = True,
+                     mode: str = "dispatch", use_pallas: bool = False,
                      interpret: bool = False
                      ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """mode: "dispatch" (capacity top-k) | "mask" (dense masked) | "dense"
