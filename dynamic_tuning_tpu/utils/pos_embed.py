@@ -38,6 +38,30 @@ def _1d_sincos(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
 
 
+def interpolate_pos_embed_video(pos_embed: np.ndarray, new_num_patches: int,
+                                num_frames: int, tubelet_size: int = 2,
+                                num_prefix_tokens: int = 0) -> np.ndarray:
+    """Video-tubelet pos-embed interpolation (reference util/pos_embed.py:75-104):
+    the checkpoint grid is [T//tubelet, gh, gw]; spatial dims resize bicubic,
+    the temporal dim is preserved.  new_num_patches is per-frame (gh'*gw')."""
+    pos_embed = np.asarray(pos_embed)
+    _, t_old, dim = pos_embed.shape
+    t_frames = num_frames // tubelet_size
+    prefix = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[:, num_prefix_tokens:]
+    spatial_old = grid.shape[1] // t_frames
+    gs_old = int(round(spatial_old ** 0.5))
+    gs_new = int(round(new_num_patches ** 0.5))
+    if gs_old == gs_new:
+        return pos_embed
+    grid = grid.reshape(t_frames, gs_old, gs_old, dim)
+    grid = jax.image.resize(jnp.asarray(grid),
+                            (t_frames, gs_new, gs_new, dim), method="cubic")
+    grid = np.asarray(grid).reshape(1, t_frames * gs_new * gs_new, dim)
+    return np.concatenate([prefix, grid], axis=1) if num_prefix_tokens \
+        else grid
+
+
 def interpolate_pos_embed(pos_embed: np.ndarray, new_num_patches: int,
                           num_prefix_tokens: int = 1) -> np.ndarray:
     """Resize a [1, T_old, D] learnable pos-embed to a new patch grid
