@@ -164,6 +164,7 @@ class Runner:
     def evaluate(self) -> Dict[str, float]:
         all_logits, all_labels = [], []
         keep_sum, keep_n = 0.0, 0
+        layer_keep = None
         gflops_sum, gflops_n = 0.0, 0
         for imgs, labels in self.val_loader:
             xb, yb = self._device_batch(imgs, labels, train=False)
@@ -172,9 +173,12 @@ class Runner:
             all_logits.append(np.asarray(logits))
             all_labels.append(np.asarray(yb))
             if token_select is not None:
-                ts = np.asarray(token_select)
+                ts = np.asarray(token_select).astype(np.float64)
                 keep_sum += ts.sum()
                 keep_n += ts.size
+                per_layer = ts.mean(axis=(0, 2, 3))   # [L]
+                layer_keep = (per_layer if layer_keep is None
+                              else layer_keep + per_layer)
                 g = batch_select_flops(
                     ts, T=self.model_cfg.seq_len, dim=self.model_cfg.embed_dim,
                     mlp_ratio=self.model_cfg.mlp_ratio,
@@ -208,6 +212,10 @@ class Runner:
             stats["flops_ratio_vs_dense"] = gf / dense
             self.logger.info(f"eval GFLOPs/sample {gf:.2f} "
                              f"({100 * gf / dense:.1f}% of dense)")
+            if layer_keep is not None:  # per-layer keep rates
+                rates = layer_keep / len(all_logits)
+                self.logger.info("per-layer keep rates: "
+                                 + " ".join(f"{r:.3f}" for r in rates))
         self.logger.info(f"eval: {json.dumps({k: round(float(v), 4) for k, v in stats.items()})}")
         return stats
 
