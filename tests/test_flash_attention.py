@@ -46,3 +46,20 @@ def test_flash_bf16_io():
     q, k, v = _qkv(N=64, dtype=jnp.bfloat16)
     got = flash_attention(q, k, v, interpret=True)
     assert got.dtype == jnp.bfloat16
+
+
+def test_flash_long_seq_per_head_grid():
+    q, k, v = _qkv(B=1, H=2, N=300, D=16)
+    got = flash_attention(q, k, v, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_flash_with_relpos_bias():
+    q, k, v = _qkv(B=2, H=2, N=300, D=16)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (2, 300, 300))
+    got = flash_attention(q, k, v, bias, interpret=True)
+    ref = attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
