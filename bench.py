@@ -25,36 +25,6 @@ ITERS = 30
 REPEATS = 5
 
 
-def _scan_bench(apply_once, params, x, batch: int, iters: int = ITERS,
-                repeats: int = REPEATS) -> float:
-    """img/s via a single jitted ``lax.scan`` of ``iters`` serialized forwards.
-
-    Per-iteration host fencing (the reference's cuda.synchronize pattern,
-    speed.py:258-264) is hopeless through a remote-attached device: readback
-    latency and pipelining artifacts dominate.  Instead the timed unit is ONE
-    device program running the forward ``iters`` times, each iteration's input
-    perturbed by the previous output so XLA cannot elide or overlap them; one
-    scalar readback ends the clock.  Best of ``repeats`` is reported.
-    """
-
-    @jax.jit
-    def many(params, x):
-        def body(carry, _):
-            out = apply_once(params, x + carry * 1e-12)
-            return out.astype(jnp.float32), None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return out
-
-    _ = float(many(params, x))          # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _ = float(many(params, x))
-        best = min(best, time.perf_counter() - t0)
-    return batch * iters / best
-
-
 def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
     from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
@@ -85,8 +55,6 @@ def main():
     # (scripts/profile_breakdown.py: 49.8 vs 50.6 ms) — use it.
     # Repeats are interleaved dense/dispatch so chip-speed drift (shared /
     # remote chips) cancels out of the ratio.
-    import functools
-
     def compile_many(mode):
         fn = make_fn(mode, False)
 
