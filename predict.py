@@ -38,6 +38,12 @@ def get_args_parser():
     p.add_argument("--token_target_ratio", type=float, default=0.5)
     p.add_argument("--capacity_ratio", type=float, default=None)
     p.add_argument("--inception", action="store_true")
+    # architecture overrides (default ViT-B/16 @ 224)
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
     return p
 
 
@@ -64,13 +70,15 @@ def _load_canvas(path, canvas=256):
 
 def main(args):
     cfg = ModelConfig(num_classes=args.nb_classes, gelu_approx=True,
-                      residual_dtype="bfloat16")
-    tuning = TuningConfig(ffn_num=args.ffn_num)
+                      residual_dtype="bfloat16", img_size=args.img_size,
+                      patch_size=args.patch_size, embed_dim=args.embed_dim,
+                      depth=args.depth, num_heads=args.num_heads)
+    tuning = TuningConfig(ffn_num=args.ffn_num, d_model=args.embed_dim)
     sel = SelectConfig(token_target_ratio=args.token_target_ratio,
                        capacity_ratio=args.capacity_ratio)
     model = VisionTransformer(cfg, tuning=tuning, select=sel,
                               dtype=jnp.bfloat16)
-    sample = jnp.zeros((1, 224, 224, 3))
+    sample = jnp.zeros((1, args.img_size, args.img_size, 3))
     params = model.init(jax.random.PRNGKey(0), sample)["params"]
     if args.ckpt.endswith((".pth", ".pt")):
         params, _ = C.import_pretrained(params,
@@ -80,12 +88,13 @@ def main(args):
         params = loaded.get("params", loaded)
 
     paths = _list_images(args.images)
+    canvas = max(int(args.img_size * 256 / 224), args.img_size)
     results = []
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
-        imgs = np.stack([_load_canvas(p) for p in chunk])
+        imgs = np.stack([_load_canvas(p, canvas) for p in chunk])
         xb = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
-                           out_size=224, inception=args.inception,
+                           out_size=args.img_size, inception=args.inception,
                            train=False)
         logits, gates = fast_vit_forward(params, xb, cfg=cfg, tuning=tuning,
                                          select=sel, mode=args.mode,

@@ -1,0 +1,61 @@
+"""predict.py CLI end-to-end: checkpoint -> images dir -> per-image JSON."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+import predict
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+from dynamic_tuning_tpu.train import checkpoint as C
+
+ARCH = ["--img_size", "32", "--patch_size", "8", "--embed_dim", "64",
+        "--depth", "2", "--num_heads", "4", "--ffn_num", "8",
+        "--nb_classes", "10"]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("predict")
+    rs = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rs.randint(0, 256, (50, 70, 3), np.uint8)).save(
+            d / f"img{i}.jpg")
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=2, num_heads=4, gelu_approx=True,
+                      residual_dtype="bfloat16")
+    model = VisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
+                              select=SelectConfig(), dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    ckpt = str(d / "model.msgpack")
+    C.save_params(ckpt, params)
+    return str(d), ckpt
+
+
+def test_predict_dispatch_mode(setup, capsys):
+    images_dir, ckpt = setup
+    args = predict.get_args_parser().parse_args(
+        ["--ckpt", ckpt, "--images", images_dir, "--mode", "dispatch",
+         "--batch_size", "3"] + ARCH)
+    results = predict.main(args)
+    assert len(results) == 5
+    for r in results:
+        assert 0 <= r["label"] < 10
+        assert 0.0 <= r["prob"] <= 1.0
+        assert 0.0 <= r["keep_ratio"] <= 1.0
+    # JSON lines printed
+    out = capsys.readouterr().out
+    assert out.count('"path"') == 5
+
+
+def test_predict_single_file_dense(setup):
+    images_dir, ckpt = setup
+    args = predict.get_args_parser().parse_args(
+        ["--ckpt", ckpt, "--images", f"{images_dir}/img0.jpg",
+         "--mode", "dense"] + ARCH)
+    results = predict.main(args)
+    assert len(results) == 1
+    assert results[0]["keep_ratio"] == 1.0     # dense: no gating
