@@ -34,14 +34,23 @@ def _resize(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
 class ConvModule(nn.Module):
     out_ch: int
     kernel: int = 3
+    norm: str = "gn"       # "gn" (stateless) | "bn" (SyncBN-parity)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel), padding="SAME",
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(
-            x.astype(jnp.float32))
+        if self.norm == "bn":
+            # Under jit with a data-sharded batch, batch statistics reduce
+            # over the GLOBAL batch — exactly the reference's SyncBN
+            # (tools/seg_train.py:113) with zero extra collectives code.
+            x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn")(
+                                 x.astype(jnp.float32))
+        else:
+            x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(
+                x.astype(jnp.float32))
         return nn.relu(x)
 
 
@@ -50,20 +59,22 @@ class PSPModule(nn.Module):
 
     channels: int
     pool_scales: Sequence[int] = (1, 2, 3, 6)
+    norm: str = "gn"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
         h, w = x.shape[1], x.shape[2]
         outs = [x]
         for i, s in enumerate(self.pool_scales):
             pooled = _adaptive_avg_pool(x, s)
-            pooled = ConvModule(self.channels, 1, dtype=self.dtype,
-                                name=f"pool_{i}")(pooled)
+            pooled = ConvModule(self.channels, 1, norm=self.norm,
+                                dtype=self.dtype,
+                                name=f"pool_{i}")(pooled, training=training)
             outs.append(_resize(pooled, (h, w)))
         cat = jnp.concatenate(outs, axis=-1)
-        return ConvModule(self.channels, 3, dtype=self.dtype,
-                          name="bottleneck")(cat)
+        return ConvModule(self.channels, 3, norm=self.norm, dtype=self.dtype,
+                          name="bottleneck")(cat, training=training)
 
 
 def _adaptive_avg_pool(x: jax.Array, out: int) -> jax.Array:
@@ -82,15 +93,17 @@ class UPerHead(nn.Module):
     num_classes: int
     channels: int = 768
     dropout: float = 0.1
+    norm: str = "gn"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], *,
                  training: bool = False) -> jax.Array:
-        psp_out = PSPModule(self.channels, dtype=self.dtype,
-                            name="psp")(feats[-1])
-        laterals = [ConvModule(self.channels, 1, dtype=self.dtype,
-                               name=f"lateral_{i}")(f)
+        psp_out = PSPModule(self.channels, norm=self.norm, dtype=self.dtype,
+                            name="psp")(feats[-1], training=training)
+        laterals = [ConvModule(self.channels, 1, norm=self.norm,
+                               dtype=self.dtype,
+                               name=f"lateral_{i}")(f, training=training)
                     for i, f in enumerate(feats[:-1])]
         laterals.append(psp_out)
 
@@ -98,14 +111,15 @@ class UPerHead(nn.Module):
             hw = laterals[i - 1].shape[1:3]
             laterals[i - 1] = laterals[i - 1] + _resize(laterals[i], hw)
 
-        outs = [ConvModule(self.channels, 3, dtype=self.dtype,
-                           name=f"fpn_{i}")(laterals[i])
+        outs = [ConvModule(self.channels, 3, norm=self.norm, dtype=self.dtype,
+                           name=f"fpn_{i}")(laterals[i], training=training)
                 for i in range(len(laterals) - 1)]
         outs.append(laterals[-1])
         hw0 = outs[0].shape[1:3]
         outs = [_resize(o, hw0) for o in outs]
-        fused = ConvModule(self.channels, 3, dtype=self.dtype,
-                           name="fpn_bottleneck")(jnp.concatenate(outs, -1))
+        fused = ConvModule(self.channels, 3, norm=self.norm, dtype=self.dtype,
+                           name="fpn_bottleneck")(jnp.concatenate(outs, -1),
+                                                  training=training)
         fused = nn.Dropout(self.dropout)(fused, deterministic=not training)
         return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                        name="conv_seg")(fused.astype(jnp.float32))
@@ -117,11 +131,13 @@ class FCNHead(nn.Module):
     num_classes: int
     channels: int = 256
     dropout: float = 0.1
+    norm: str = "gn"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
-        x = ConvModule(self.channels, 3, dtype=self.dtype, name="conv0")(x)
+        x = ConvModule(self.channels, 3, norm=self.norm, dtype=self.dtype,
+                       name="conv0")(x, training=training)
         x = nn.Dropout(self.dropout)(x, deterministic=not training)
         return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                        name="conv_seg")(x.astype(jnp.float32))
@@ -138,6 +154,7 @@ class DyTSegmentor(nn.Module):
     aux_index: int = 2
     out_indices: Optional[Tuple[int, ...]] = None
     use_rel_pos_bias: bool = True
+    norm: str = "gn"   # "bn" = SyncBN parity (global batch stats under jit)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -151,10 +168,10 @@ class DyTSegmentor(nn.Module):
             name="backbone")(x, training=training,
                              complete_model=complete_model, dispatch=dispatch)
         logits = UPerHead(self.num_classes, channels=self.cfg.embed_dim,
-                          dtype=self.dtype, name="decode_head")(
-                              feats, training=training)
-        aux_logits = FCNHead(self.num_classes, dtype=self.dtype,
-                             name="auxiliary_head")(
+                          norm=self.norm, dtype=self.dtype,
+                          name="decode_head")(feats, training=training)
+        aux_logits = FCNHead(self.num_classes, norm=self.norm,
+                             dtype=self.dtype, name="auxiliary_head")(
                                  feats[self.aux_index], training=training)
         hw = (x.shape[1], x.shape[2])
         return _resize(logits, hw), _resize(aux_logits, hw), aux

@@ -62,8 +62,9 @@ def seg_trainable_predicate(path):
 class SegRunner:
     def __init__(self, cfg: RunConfig, *, total_iters: int = 160_000,
                  eval_interval: int = 16_000, crop: int = 512,
-                 slide_stride: int = 341):
+                 slide_stride: int = 341, norm: str = "gn"):
         self.cfg = cfg
+        self.norm = norm
         self.total_iters = total_iters
         self.eval_interval = eval_interval
         self.crop = crop
@@ -83,10 +84,13 @@ class SegRunner:
 
         self.model = DyTSegmentor(cfg.model, num_classes=nc,
                                   tuning=cfg.tuning, select=cfg.select,
-                                  dtype=self.dtype)
+                                  norm=norm, dtype=self.dtype)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, crop, crop, 3))
-        params = self.model.init(rng, sample)["params"]
+        variables = self.model.init(rng, sample)
+        params = variables["params"]
+        # SyncBN running stats (empty dict for the stateless GroupNorm path)
+        self.batch_stats = variables.get("batch_stats", {})
 
         if cfg.finetune:
             if cfg.finetune.endswith((".pth", ".pt")):
@@ -116,43 +120,58 @@ class SegRunner:
 
     def _make_train_step(self):
         model, tx = self.model, self.tx
+        has_bn = bool(self.batch_stats)
 
-        def loss_fn(trainable, frozen, images, labels, rngs):
+        def loss_fn(trainable, frozen, bstats, images, labels, rngs):
             params = merge_params(trainable, frozen)
-            logits, aux_logits, aux = model.apply(
-                {"params": params}, images, training=True, rngs=rngs)
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = bstats
+                (logits, aux_logits, aux), mutated = model.apply(
+                    variables, images, training=True, rngs=rngs,
+                    mutable=["batch_stats"])
+                new_bstats = mutated["batch_stats"]
+            else:
+                logits, aux_logits, aux = model.apply(
+                    variables, images, training=True, rngs=rngs)
+                new_bstats = bstats
             total, parts = seg_loss(logits, aux_logits, labels, aux["loss"])
             parts["loss"] = total
             if aux["token_select"] is not None:
                 parts["keep_ratio"] = aux["token_select"].astype(jnp.float32).mean()
-            return total, parts
+            return total, (parts, new_bstats)
 
-        def step(state: TrainState, images, labels):
+        def step(state: TrainState, bstats, images, labels):
             r = jax.random.fold_in(state.rng, state.step)
             g, d = jax.random.split(r)
-            grads, parts = jax.grad(loss_fn, has_aux=True)(
-                state.trainable, state.frozen, images, labels,
+            grads, (parts, bstats) = jax.grad(loss_fn, has_aux=True)(
+                state.trainable, state.frozen, bstats, images, labels,
                 {"gate": g, "dropout": d})
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
             return state._replace(step=state.step + 1, trainable=trainable,
-                                  opt_state=opt_state), parts
+                                  opt_state=opt_state), bstats, parts
 
         return step
 
     def _make_eval_apply(self):
         model = self.model
 
-        def apply_fn(params, tile):
-            logits, _, _ = model.apply({"params": params}, tile,
-                                       training=False)
+        def apply_fn(variables, tile):
+            logits, _, _ = model.apply(variables, tile, training=False)
             return logits
 
         return apply_fn
 
+    def _eval_variables(self):
+        v = {"params": merge_params(self.state.trainable, self.state.frozen)}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
     def evaluate(self, max_images: int | None = None) -> Dict[str, float]:
-        params = merge_params(self.state.trainable, self.state.frozen)
+        params = self._eval_variables()
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         n = len(self.val_ds) if max_images is None else min(max_images,
                                                             len(self.val_ds))
@@ -186,7 +205,8 @@ class SegRunner:
                 xb = seg_normalize(jnp.asarray(imgs))
                 yb = jnp.asarray(anns.astype(np.int32))
                 xb, yb = M.shard_batch(self.mesh, (xb, yb))
-                self.state, parts = self.train_step(self.state, xb, yb)
+                self.state, self.batch_stats, parts = self.train_step(
+                    self.state, self.batch_stats, xb, yb)
                 ml.update(**{k: float(v) for k, v in parts.items()})
                 it += 1
                 if it % 50 == 0:

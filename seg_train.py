@@ -22,6 +22,8 @@ def get_args_parser():
     p.add_argument("--total_iters", type=int, default=160_000)
     p.add_argument("--eval_interval", type=int, default=16_000)
     p.add_argument("--slide_stride", type=int, default=341)
+    p.add_argument("--seg_norm", default="gn", choices=["gn", "bn"],
+                   help="head norm: gn (stateless) or bn (SyncBN parity)")
     return p
 
 
@@ -31,7 +33,8 @@ def main(args):
                                         drop_path_rate=args.drop_path))
     runner = SegRunner(cfg, total_iters=args.total_iters,
                        eval_interval=args.eval_interval,
-                       crop=args.crop_size, slide_stride=args.slide_stride)
+                       crop=args.crop_size, slide_stride=args.slide_stride,
+                       norm=args.seg_norm)
     if args.eval:
         return runner.evaluate()
     return runner.run()
