@@ -174,13 +174,19 @@ def _to_pure(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+_ASYNC_SAVER: Optional[object] = None
+
+
 def save_checkpoint(output_dir: str, state, epoch: int, *,
                     tag: Optional[str] = None, extra: Optional[dict] = None,
-                    auto_remove: bool = False, is_main: bool = True) -> str:
+                    auto_remove: bool = False, is_main: bool = True,
+                    blocking: bool = True) -> str:
     """Write {trainable, frozen, opt_state, step, epoch} as one msgpack blob.
 
     Mirrors misc.save_model (misc.py:296-311) incl. auto_remove pruning
-    (misc.py:316-329).  Only the main process writes.
+    (misc.py:316-329).  Only the main process writes.  ``blocking=False``
+    snapshots device arrays to host immediately and serializes + writes on a
+    background thread (training continues during IO).
     """
     if not is_main:
         return ""
@@ -195,14 +201,35 @@ def save_checkpoint(output_dir: str, state, epoch: int, *,
         "epoch": int(epoch),
         "extra": extra or {},
     }
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
-    if auto_remove and tag is None:
-        for old in sorted(glob.glob(os.path.join(output_dir, "checkpoint-*.msgpack"))):
-            m = re.search(r"checkpoint-(\d+)\.msgpack$", old)
-            if m and int(m.group(1)) < epoch:
-                os.remove(old)
+
+    def write():
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        if auto_remove and tag is None:
+            for old in sorted(glob.glob(
+                    os.path.join(output_dir, "checkpoint-*.msgpack"))):
+                m = re.search(r"checkpoint-(\d+)\.msgpack$", old)
+                if m and int(m.group(1)) < epoch:
+                    os.remove(old)
+
+    if blocking:
+        write()
+    else:
+        import threading
+        global _ASYNC_SAVER
+        if _ASYNC_SAVER is not None:
+            _ASYNC_SAVER.join()           # at most one in-flight save
+        _ASYNC_SAVER = threading.Thread(target=write, daemon=True)
+        _ASYNC_SAVER.start()
     return path
+
+
+def wait_for_async_saves():
+    """Block until an in-flight non-blocking save finishes."""
+    global _ASYNC_SAVER
+    if _ASYNC_SAVER is not None:
+        _ASYNC_SAVER.join()
+        _ASYNC_SAVER = None
 
 
 def load_checkpoint(path: str, state):

@@ -149,3 +149,17 @@ def test_auto_remove_prunes_older(tmp_path):
     C.save_checkpoint(str(tmp_path), state, epoch=2, auto_remove=True)
     files = sorted(os.listdir(tmp_path))
     assert files == ["checkpoint-2.msgpack"]
+
+
+def test_async_save_roundtrip(tmp_path):
+    model, params, x = _tiny()
+    trainable, frozen = partition_params(params)
+    tx = make_optimizer(1e-3, steps_per_epoch=5)
+    state = create_train_state(trainable, frozen, tx, jax.random.PRNGKey(0))
+    path = C.save_checkpoint(str(tmp_path), state, epoch=7, blocking=False)
+    C.wait_for_async_saves()
+    state2, epoch, _ = C.load_checkpoint(path, state)
+    assert epoch == 7
+    for k in state.trainable:
+        np.testing.assert_array_equal(np.asarray(state.trainable[k]),
+                                      np.asarray(state2.trainable[k]))
