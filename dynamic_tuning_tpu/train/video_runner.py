@@ -100,7 +100,8 @@ class VideoRunner:
         self.train_step = jax.jit(
             make_train_step(self.apply_fn, self.tx, cfg.select),
             donate_argnums=(0,))
-        self.eval_step = jax.jit(make_eval_step(self.apply_fn))
+        self.eval_step = jax.jit(make_eval_step(self.apply_fn,
+                                                dispatch=cfg.eval_dispatch))
         self.aug_rng = jax.random.fold_in(rng, 3)
 
     @staticmethod
