@@ -18,8 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() not in ("cpu", "tpu"):
-    jax.config.update("jax_platforms", "cpu")
+# run on CPU unless explicitly overridden (jax may be preloaded with an
+# experimental backend in sandboxed environments; config.update works as long
+# as no backend has been initialized yet)
+if os.environ.get("DYT_VALIDATE_BACKEND", "cpu") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 import jax.numpy as jnp
 import numpy as np
