@@ -55,6 +55,14 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+    # perf knobs (BENCH.md: fast config trains ~19% faster; parity defaults)
+    parser.add_argument("--gelu_approx", action="store_true",
+                        help="tanh GELU (cheaper on the VPU)")
+    parser.add_argument("--residual_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="residual-stream dtype (bfloat16 = fast)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize blocks in backward (big batches)")
     return parser
 
 
@@ -74,7 +82,10 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                       batch_size=args.batch_size, num_workers=args.num_workers,
                       inception_norm=args.inception, no_aug=no_aug)
     model = ModelConfig(num_classes=args.nb_classes,
-                        drop_path_rate=args.drop_path)
+                        drop_path_rate=args.drop_path,
+                        gelu_approx=args.gelu_approx,
+                        residual_dtype=args.residual_dtype,
+                        remat=args.remat)
     return RunConfig(model=model, tuning=tuning, select=select, optim=optim,
                      data=data, mesh=MeshConfig(model_parallel=args.model_parallel),
                      seed=args.seed, output_dir=args.output_dir,
