@@ -27,12 +27,11 @@ REPEATS = 5
 
 def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-    from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
     from dynamic_tuning_tpu.models.vit import VisionTransformer
 
     # inference-speed config for BOTH sides (the reference equally runs its
     # dense baseline and DyT under AMP, speed.py:247): bf16 residual stream,
-    # tanh GELU, hand-optimized forward (models/fast_inference.py)
+    # tanh GELU; the flax path (fastest for both modes) is benched
     cfg = ModelConfig(num_classes=100, gelu_approx=True,
                       residual_dtype="bfloat16")
     tuning = TuningConfig()
@@ -43,20 +42,27 @@ def main():
     x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
 
-    def make_fn(mode, use_pallas):
-        def fn(p, xx):
-            logits, _ = fast_vit_forward(p, xx, cfg=cfg, tuning=tuning,
-                                         select=sel, mode=mode,
-                                         use_pallas=use_pallas)
-            return logits.sum()
+    # Both sides use their FASTEST implementation (integrity: no slow
+    # baseline).  The flax model path wins over the hand-written forward on
+    # both modes once the pretransposed attention landed in the shared Block
+    # (measured interleaved: flax dense 2469 vs hand 2272 img/s; flax
+    # dispatch 2853 vs hand 2791 — scripts in /tmp/path_compare).
+    def make_fn(mode):
+        if mode == "dense":
+            def fn(p, xx):
+                logits, _ = model.apply({"params": p}, xx,
+                                        complete_model=True)
+                return logits.sum()
+        else:
+            def fn(p, xx):
+                logits, _ = model.apply({"params": p}, xx, dispatch=True)
+                return logits.sum()
         return fn
 
-    # XLA's fused lowering beats the hand Pallas MLP kernel in context
-    # (scripts/profile_breakdown.py: 49.8 vs 50.6 ms) — use it.
     # Repeats are interleaved dense/dispatch so chip-speed drift (shared /
     # remote chips) cancels out of the ratio.
     def compile_many(mode):
-        fn = make_fn(mode, False)
+        fn = make_fn(mode)
 
         @jax.jit
         def many(p, xx):
