@@ -75,9 +75,13 @@ def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
     s = jax.lax.dot_general(q * (hd ** -0.5), k,
                             (((3,), (3,)), ((0, 1), (0, 1))),
                             preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(s, axis=-1).astype(BF16)
-    out = jax.lax.dot_general(attn, v, (((3,), (2,)), ((0, 1), (0, 1))),
-                              preferred_element_type=BF16)
+    # no-max softmax + deferred normalization (see models/layers.py serving
+    # branch): one fewer pass over the fp32 score tensor
+    expw = jnp.exp(s - 20.0).astype(BF16)
+    out = jax.lax.dot_general(expw, v, (((3,), (2,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.float32)
+    l = jnp.sum(expw.astype(jnp.float32), axis=-1, keepdims=True)
+    out = (out / l).astype(BF16)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     return _dense(out, p["attn"]["proj"]).astype(BF16)
 
