@@ -25,6 +25,54 @@ from dynamic_tuning_tpu.data.vtab import parse_filelist, vtab_num_classes
 MEAN_PER_CLASS = {"flowers102", "fgvc_aircraft", "oxford_iiit_pet"}
 
 
+def _bilinear_canvas(img: np.ndarray, canvas: int,
+                     square: bool = False) -> np.ndarray:
+    """Decode-time resize shared with the native C++ loader.
+
+    Point-sampled bilinear with half-pixel centers — the exact math of
+    ``native/dyt_loader.cpp::sample_bilinear`` so a dataset yields identical
+    pixels regardless of which loader backend decoded it.
+
+    square=False: short-side resize to ``canvas`` + center crop (the
+    reference eval transform Resize+CenterCrop, image_datasets.py:22-24,
+    scaled to the canvas).  square=True: aspect-destroying canvas x canvas
+    resize (the reference VTAB no-aug Resize((224,224)),
+    image_datasets_noaug.py:16-23).
+    """
+    h, w = img.shape[:2]
+    if square:
+        scale_y, scale_x = canvas / h, canvas / w
+        top = left = 0
+    else:
+        scale_y = scale_x = canvas / min(h, w)
+        nh, nw = int(h * scale_y + 0.5), int(w * scale_x + 0.5)
+        top, left = (nh - canvas) // 2, (nw - canvas) // 2
+
+    ys = (np.arange(canvas) + top + 0.5) / scale_y - 0.5
+    xs = (np.arange(canvas) + left + 0.5) / scale_x - 0.5
+    y0 = np.clip(ys, 0, h - 2).astype(np.int64)
+    x0 = np.clip(xs, 0, w - 2).astype(np.int64)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    p00 = p[y0[:, None], x0[None, :]]
+    p01 = p[y0[:, None], x0[None, :] + 1]
+    p10 = p[y0[:, None] + 1, x0[None, :]]
+    p11 = p[y0[:, None] + 1, x0[None, :] + 1]
+    v = (1 - fy) * ((1 - fx) * p00 + fx * p01) + fy * ((1 - fx) * p10 + fx * p11)
+    return (v + 0.5).astype(np.uint8)
+
+
+def decode_canvas(path: str, canvas: int, square: bool = False) -> np.ndarray:
+    """PIL decode + the shared canvas resize."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    if img.shape[0] < 2 or img.shape[1] < 2:
+        return np.zeros((canvas, canvas, 3), np.uint8)
+    return _bilinear_canvas(img, canvas, square)
+
+
 class ArrayDataset:
     """In-memory uint8 image array + labels (CIFAR & synthetic)."""
 
@@ -65,23 +113,22 @@ class ImageFilelist:
     (reference datasets/vtab.py:54-74)."""
 
     def __init__(self, root: str, listfile: str, num_classes: int,
-                 canvas: int = 224, metric: str = "accuracy"):
+                 canvas: int = 224, metric: str = "accuracy",
+                 square: bool = True):
         self.root = root
         self.items = parse_filelist(listfile)
         self.num_classes = num_classes
         self.canvas = canvas
         self.metric = metric
+        self.square = square
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, i):
-        from PIL import Image
-
         rel, label = self.items[i]
-        img = Image.open(os.path.join(self.root, rel)).convert("RGB")
-        img = img.resize((self.canvas, self.canvas), Image.BILINEAR)
-        return np.asarray(img, np.uint8), label
+        return decode_canvas(os.path.join(self.root, rel), self.canvas,
+                             self.square), label
 
 
 class ImageFolder:
@@ -103,17 +150,14 @@ class ImageFolder:
         self.num_classes = len(classes)
         self.canvas = canvas
         self.metric = metric
+        self.square = False
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, i):
-        from PIL import Image
-
         path, label = self.samples[i]
-        img = Image.open(path).convert("RGB")
-        img = img.resize((self.canvas, self.canvas), Image.BILINEAR)
-        return np.asarray(img, np.uint8), label
+        return decode_canvas(path, self.canvas), label
 
 
 # ---------------------------------------------------------------------------
@@ -177,10 +221,13 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False):
     try:
         nc = vtab_num_classes(dataset)
         root = os.path.join(data_path, dataset)
+        # square stretch only for the VTAB no-aug protocol; aug mode keeps
+        # aspect ratio (short-side + center crop) like the reference's
+        # Resize(256)+CenterCrop path
         train = ImageFilelist(root, os.path.join(root, "train800val200.txt"),
-                              nc, canvas=canvas)
+                              nc, canvas=canvas, square=no_aug)
         val = ImageFilelist(root, os.path.join(root, "test.txt"), nc,
-                            canvas=canvas)
+                            canvas=canvas, square=no_aug)
         return train, val, nc, "accuracy"
     except KeyError:
         pass

@@ -20,9 +20,10 @@ Samples = List[Tuple[str, int]]
 
 
 class FileListDataset:
-    """(path, label) samples + PIL decode to a fixed square canvas — the same
+    """(path, label) samples decoded to a fixed canvas (short-side resize +
+    center crop, the shared bilinear of datasets.decode_canvas) — the same
     protocol as datasets.ImageFolder, so make_loader picks the native C++
-    pipeline automatically."""
+    pipeline automatically and both backends yield identical pixels."""
 
     def __init__(self, samples: Samples, num_classes: int, canvas: int = 256,
                  metric: str = "accuracy"):
@@ -30,18 +31,16 @@ class FileListDataset:
         self.num_classes = num_classes
         self.canvas = canvas
         self.metric = metric
+        self.square = False
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, i):
-        import numpy as np
-        from PIL import Image
+        from dynamic_tuning_tpu.data.datasets import decode_canvas
 
         path, label = self.samples[i]
-        img = Image.open(path).convert("RGB")
-        img = img.resize((self.canvas, self.canvas), Image.BILINEAR)
-        return np.asarray(img, np.uint8), label
+        return decode_canvas(path, self.canvas), label
 
 
 def flowers102(root: str, split: str) -> FileListDataset:

@@ -116,7 +116,8 @@ def make_loader(dataset, batch_size: int, *, shuffle: bool = False,
                 return NativeDataLoader(
                     samples, batch_size, canvas=canvas, shuffle=shuffle,
                     drop_last=drop_last, seed=seed, num_workers=num_workers,
-                    process_index=process_index, process_count=process_count)
+                    process_index=process_index, process_count=process_count,
+                    square=getattr(dataset, "square", False))
         except (RuntimeError, ImportError):
             pass
     return DataLoader(dataset, batch_size, shuffle=shuffle,

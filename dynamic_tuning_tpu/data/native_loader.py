@@ -46,7 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.dyt_loader_num_batches.restype = ctypes.c_int64
     lib.dyt_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.dyt_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -57,6 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dyt_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.dyt_decode_resize.restype = ctypes.c_int
     lib.dyt_decode_resize.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int,
                                       ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return lib
@@ -66,13 +67,15 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_resize(path: str, canvas: int) -> Optional[np.ndarray]:
+def decode_resize(path: str, canvas: int,
+                  square: bool = False) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
     out = np.zeros((canvas, canvas, 3), np.uint8)
     ok = lib.dyt_decode_resize(
-        path.encode(), canvas, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        path.encode(), canvas, int(square),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if ok else None
 
 
@@ -87,7 +90,7 @@ class NativeDataLoader:
                  canvas: int = 256, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, num_workers: int = 4,
                  prefetch: int = 4, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, square: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (g++/libjpeg missing)")
@@ -101,7 +104,8 @@ class NativeDataLoader:
         self._handle = lib.dyt_loader_create(
             paths, labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(samples), batch_size, canvas, num_workers, prefetch,
-            int(shuffle), int(drop_last), seed, process_index, process_count)
+            int(shuffle), int(drop_last), seed, process_index, process_count,
+            int(square))
         self._nb = lib.dyt_loader_num_batches(self._handle)
 
     def set_epoch(self, epoch: int):

@@ -76,8 +76,10 @@ def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
                             (((3,), (3,)), ((0, 1), (0, 1))),
                             preferred_element_type=jnp.float32)
     # no-max softmax + deferred normalization (see models/layers.py serving
-    # branch): one fewer pass over the fp32 score tensor
-    expw = jnp.exp(s - 20.0).astype(BF16)
+    # branch): one fewer pass over the fp32 score tensor.  Two-sided clamp
+    # guards overflow (row max > 108) and all-zero underflow (row max < -67);
+    # exact to fp32 resolution for row max in [-60, 80].
+    expw = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0).astype(BF16)
     out = jax.lax.dot_general(expw, v, (((3,), (2,)), ((0, 1), (0, 1))),
                               preferred_element_type=jnp.float32)
     l = jnp.sum(expw.astype(jnp.float32), axis=-1, keepdims=True)

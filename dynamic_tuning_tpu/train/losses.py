@@ -42,8 +42,11 @@ def token_budget_loss(token_select: Optional[jax.Array],
     ts = token_select.astype(jnp.float32)
     flops_loss = (ts.mean() - cfg.token_target_ratio) ** 2
     if cfg.token_minimal_weight > 0:
-        per_token = ts.mean(axis=-1)
-        minimal = jnp.maximum(cfg.token_minimal - per_token, 0.0).sum()
+        # reference losses.py:74-76: token_select is (b, layers, tokens) and
+        # .mean(-1) averages over *tokens*, giving a per-(batch,layer) keep
+        # rate that's clamped against the floor.  Our ts is [B, L, T, 1].
+        per_layer_rate = ts.mean(axis=(2, 3))
+        minimal = jnp.maximum(cfg.token_minimal - per_layer_rate, 0.0).sum()
         flops_loss = flops_loss + cfg.token_minimal_weight * minimal
     return flops_loss
 

@@ -118,17 +118,17 @@ bool decode_any(const std::string& path, Image* out) {
 
 // ---------------------------------------------------------------- resize ---
 
-// Bilinear resize short side to `target`, center-crop to target x target.
-void resize_center_crop(const Image& src, int target, uint8_t* dst) {
-  const double scale = double(target) / (src.w < src.h ? src.w : src.h);
-  const int nh = int(src.h * scale + 0.5), nw = int(src.w * scale + 0.5);
-  const int top = (nh - target) / 2, left = (nw - target) / 2;
+// Point-sampled bilinear over a scaled+cropped window (half-pixel centers).
+// The Python loaders mirror this math exactly (data/datasets.py::
+// _bilinear_canvas) so decode semantics are identical across backends.
+void sample_bilinear(const Image& src, double scale_y, double scale_x,
+                     int top, int left, int target, uint8_t* dst) {
   for (int y = 0; y < target; ++y) {
-    const double sy = (y + top + 0.5) / scale - 0.5;
+    const double sy = (y + top + 0.5) / scale_y - 0.5;
     const int y0 = sy < 0 ? 0 : (sy >= src.h - 1 ? src.h - 2 : int(sy));
     const double fy = sy - y0 < 0 ? 0 : (sy - y0 > 1 ? 1 : sy - y0);
     for (int x = 0; x < target; ++x) {
-      const double sx = (x + left + 0.5) / scale - 0.5;
+      const double sx = (x + left + 0.5) / scale_x - 0.5;
       const int x0 = sx < 0 ? 0 : (sx >= src.w - 1 ? src.w - 2 : int(sx));
       const double fx = sx - x0 < 0 ? 0 : (sx - x0 > 1 ? 1 : sx - x0);
       const uint8_t* p00 = src.data.data() + (size_t(y0) * src.w + x0) * 3;
@@ -145,6 +145,23 @@ void resize_center_crop(const Image& src, int target, uint8_t* dst) {
   }
 }
 
+// Resize short side to `target`, center-crop to target x target
+// (the reference eval transform: Resize(256) + CenterCrop,
+// datasets/image_datasets.py:22-24 scaled to the canvas).
+void resize_center_crop(const Image& src, int target, uint8_t* dst) {
+  const double scale = double(target) / (src.w < src.h ? src.w : src.h);
+  const int nh = int(src.h * scale + 0.5), nw = int(src.w * scale + 0.5);
+  sample_bilinear(src, scale, scale, (nh - target) / 2, (nw - target) / 2,
+                  target, dst);
+}
+
+// Aspect-destroying square resize (the reference VTAB no-aug transform:
+// Resize((224,224)), datasets/image_datasets_noaug.py:16-23).
+void resize_square(const Image& src, int target, uint8_t* dst) {
+  sample_bilinear(src, double(target) / src.h, double(target) / src.w,
+                  0, 0, target, dst);
+}
+
 // ---------------------------------------------------------------- loader ---
 
 struct Batch {
@@ -157,7 +174,7 @@ struct Loader {
   std::vector<std::string> paths;
   std::vector<int32_t> labels;
   int batch_size = 0, canvas = 0, threads = 0, prefetch = 0;
-  bool shuffle = false, drop_last = false;
+  bool shuffle = false, drop_last = false, square = false;
   uint64_t seed = 0;
   int proc_index = 0, proc_count = 1;
 
@@ -208,8 +225,9 @@ struct Loader {
         const int64_t idx = order[i];
         Image img;
         if (decode_any(paths[idx], &img) && img.w > 1 && img.h > 1) {
-          resize_center_crop(img, canvas,
-                             batch.images.data() + size_t(i - start) * img_bytes);
+          uint8_t* out = batch.images.data() + size_t(i - start) * img_bytes;
+          if (square) resize_square(img, canvas, out);
+          else resize_center_crop(img, canvas, out);
         }
         batch.labels[i - start] = labels[idx];
       }
@@ -266,7 +284,7 @@ extern "C" {
 void* dyt_loader_create(const char** paths, const int32_t* labels, int64_t n,
                         int batch_size, int canvas, int threads, int prefetch,
                         int shuffle, int drop_last, uint64_t seed,
-                        int proc_index, int proc_count) {
+                        int proc_index, int proc_count, int square) {
   auto* L = new Loader();
   L->paths.reserve(n);
   L->labels.assign(labels, labels + n);
@@ -280,6 +298,7 @@ void* dyt_loader_create(const char** paths, const int32_t* labels, int64_t n,
   L->seed = seed;
   L->proc_index = proc_index;
   L->proc_count = proc_count > 0 ? proc_count : 1;
+  L->square = square != 0;
   return L;
 }
 
@@ -309,10 +328,12 @@ void dyt_loader_destroy(void* handle) {
 }
 
 // standalone single-image decode (for tests / ad-hoc use)
-int dyt_decode_resize(const char* path, int canvas, uint8_t* out) {
+int dyt_decode_resize(const char* path, int canvas, int square,
+                      uint8_t* out) {
   Image img;
   if (!decode_any(path, &img) || img.w < 2 || img.h < 2) return 0;
-  resize_center_crop(img, canvas, out);
+  if (square) resize_square(img, canvas, out);
+  else resize_center_crop(img, canvas, out);
   return 1;
 }
 

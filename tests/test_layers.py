@@ -108,3 +108,57 @@ def test_moe_adapter_zero_init_outputs_zero_and_shapes():
     assert out.shape == x.shape
     np.testing.assert_array_equal(np.asarray(out), 0.0)  # up kernels zero-init
     assert params["params"]["down_kernel"].shape == (4, 64, 8)
+
+
+# --- serving softmax guard (no-max form, models/layers.py Attention) ---------
+
+def _attn_outputs(x, scale_qk=1.0):
+    """Run Attention twice on the same params: serving branch (deterministic,
+    no-max softmax) and training branch (standard softmax), with the qkv
+    kernel scaled to push score magnitudes."""
+    from dynamic_tuning_tpu.models.layers import Attention
+
+    attn = Attention(num_heads=4, dtype=jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x)["params"]
+    k = params["qkv"]["kernel"]
+    params = {**params, "qkv": {**params["qkv"],
+                                "kernel": k * scale_qk}}
+    serving = attn.apply({"params": params}, x, deterministic=True)
+    train = attn.apply({"params": params}, x, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    return serving, train
+
+
+def test_serving_softmax_matches_standard():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 32))
+    serving, train = _attn_outputs(x)
+    np.testing.assert_allclose(np.asarray(serving), np.asarray(train),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_serving_softmax_finite_at_huge_scores():
+    """Trained attention logits of 30-60 are common; the guard must keep the
+    no-max form finite well past 108 (fp32 exp overflow at shift 20)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 9, 32))
+    serving, _ = _attn_outputs(x, scale_qk=200.0)
+    assert np.isfinite(np.asarray(serving)).all()
+
+
+def test_serving_softmax_finite_at_all_negative_scores():
+    """All-row-scores << -67 underflow exp(s-20) to zero without the clamp,
+    giving 0/0 NaN in the deferred normalization."""
+    from dynamic_tuning_tpu.models.layers import Attention
+
+    attn = Attention(num_heads=4, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 9, 32))
+    params = attn.init(jax.random.PRNGKey(0), x)["params"]
+    # zero kernel + constant bias: q = c*ones, k = -c*ones for every token,
+    # so every score is exactly -c^2*sqrt(head_dim) ~ -102
+    C = x.shape[-1]
+    bias = np.zeros(3 * C, np.float32)
+    bias[:C] = 6.0
+    bias[C:2 * C] = -6.0
+    params = {**params, "qkv": {"kernel": jnp.zeros_like(params["qkv"]["kernel"]),
+                                "bias": jnp.asarray(bias)}}
+    out = attn.apply({"params": params}, x, deterministic=True)
+    assert np.isfinite(np.asarray(out)).all()

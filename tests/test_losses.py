@@ -27,14 +27,21 @@ def test_token_budget_loss_squared_error():
     assert abs(got - (0.75 - 0.5) ** 2) < 1e-7
 
 
-def test_token_budget_minimal_term():
-    cfg = SelectConfig(token_target_ratio=0.5, token_minimal=0.1,
-                       token_minimal_weight=1.0)
-    # all-zero gates: per-token mean 0 -> minimal term = 0.1 * numel(mean(-1))
-    ts = jnp.zeros((2, 3, 4, 1))
-    got = float(L.token_budget_loss(ts, cfg))
-    expect = 0.25 + 0.1 * (2 * 3 * 4)
-    assert abs(got - expect) < 1e-5
+def test_token_budget_minimal_term_matches_torch():
+    """Parity vs reference models/losses.py:63-84 (_get_token_loss) at
+    nonzero token_minimal_weight: the minimal term clamps the per-(batch,
+    layer) mean over *tokens* against the floor, then sums."""
+    cfg = SelectConfig(token_target_ratio=0.5, token_minimal=0.4,
+                       token_minimal_weight=1.5)
+    rng = np.random.RandomState(7)
+    ts = (rng.rand(2, 3, 16, 1) > 0.6).astype(np.float32)
+    got = float(L.token_budget_loss(jnp.asarray(ts), cfg))
+
+    # reference formula, token_select (b, layers, tokens)
+    t = torch.tensor(ts[..., 0])
+    ref = (t.mean() - 0.5) ** 2
+    ref = ref + 1.5 * (0.4 - t.mean(-1)).clamp(min=0.0).sum()
+    assert abs(got - float(ref)) < 1e-6
 
 
 def test_distillation_kl_matches_torch():

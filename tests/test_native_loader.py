@@ -86,3 +86,26 @@ def test_native_loader_corrupt_file(tmp_path, image_dir):
     # corrupt file yields zeros, does not crash, label preserved
     assert imgs.shape[0] == 4
     assert 3 in labels.tolist()
+
+
+def test_python_native_pixel_agreement(image_dir):
+    """The Python decode path (datasets.decode_canvas) and the native C++
+    loader must yield identical pixels for the same file — eval accuracy must
+    not depend on which loader backend happened to be importable."""
+    from dynamic_tuning_tpu.data.datasets import decode_canvas
+
+    path, _ = image_dir[1]            # png: lossless, decoder-independent
+    for square in (False, True):
+        native = NL.decode_resize(path, 32, square=square)
+        python = decode_canvas(path, 32, square=square)
+        assert native is not None
+        diff = np.abs(native.astype(np.int32) - python.astype(np.int32))
+        assert diff.max() <= 1, f"square={square}: max diff {diff.max()}"
+
+
+def test_loader_square_mode_differs_from_crop(image_dir):
+    """Non-square source: square stretch and center-crop must differ."""
+    path, _ = image_dir[1]            # 61x80 source
+    a = NL.decode_resize(path, 32, square=False)
+    b = NL.decode_resize(path, 32, square=True)
+    assert not np.array_equal(a, b)
