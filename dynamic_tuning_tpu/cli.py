@@ -20,6 +20,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--epochs", default=100, type=int)
     parser.add_argument("--accum_iter", default=1, type=int)
     parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--clip_grad", type=float, default=None,
+                        help="global grad-norm clip (reference max_norm, "
+                             "engine_finetune.py:74)")
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--blr", type=float, default=1e-3)
     parser.add_argument("--min_lr", type=float, default=0.0)
@@ -77,6 +80,7 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                           capacity_ratio=args.capacity_ratio)
     optim = OptimConfig(blr=args.blr, lr=args.lr, min_lr=args.min_lr,
                         weight_decay=args.weight_decay,
+                        clip_grad=args.clip_grad,
                         warmup_epochs=args.warmup_epochs, epochs=args.epochs)
     data = DataConfig(dataset=args.dataset, data_path=args.data_path,
                       batch_size=args.batch_size, num_workers=args.num_workers,

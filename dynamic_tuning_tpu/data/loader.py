@@ -49,6 +49,15 @@ class DataLoader:
             idx = rs.permutation(n)
         else:
             idx = np.arange(n)
+        # Pad to a multiple of process_count (torch DistributedSampler
+        # semantics: repeat leading indices) so every process iterates the
+        # SAME number of samples and batches.  Under jit every step is a
+        # global collective — a one-batch mismatch across processes
+        # deadlocks training and breaks eval allgather.
+        if self.process_count > 1:
+            total = -(-n // self.process_count) * self.process_count
+            if total > n:
+                idx = np.concatenate([idx, idx[:total - n]])
         # strided per-process shard (reference main_image.py:178)
         return idx[self.process_index::self.process_count]
 

@@ -87,13 +87,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch onto the mesh, sharded along the leading axis.
-    Leaves whose batch dim doesn't divide the data axis are replicated
-    (tiny-batch smoke runs, remainder batches)."""
+
+    Single process: plain device_put.  Multi-process (the reference's
+    multi-node DDP mode, misc.py:217-249): every process holds a *different*
+    local batch, so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — global batch =
+    local_batch * process_count, each host contributing its own data.  A
+    plain device_put here would silently drop all but the addressable slice
+    of each host's batch.
+
+    Single-process leaves whose batch dim doesn't divide the data axis are
+    replicated (tiny-batch smoke runs, remainder batches)."""
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     dp = mesh.shape[DATA_AXIS]
+    pc = jax.process_count()
 
     def put(x):
+        if pc > 1:
+            import numpy as np_
+
+            if x.ndim == 0:
+                return jax.device_put(x, rep)
+            if (x.shape[0] * pc) % dp != 0:
+                raise ValueError(
+                    f"per-process batch {x.shape[0]} x {pc} processes not "
+                    f"divisible by data axis {dp}; pad the loader shard")
+            return jax.make_array_from_process_local_data(sh, np_.asarray(x))
         ok = x.ndim > 0 and x.shape[0] % dp == 0
         return jax.device_put(x, sh if ok else rep)
 

@@ -175,6 +175,7 @@ def _to_pure(tree):
 
 
 _ASYNC_SAVER: Optional[object] = None
+_ATEXIT_REGISTERED = False
 
 
 def save_checkpoint(output_dir: str, state, epoch: int, *,
@@ -203,8 +204,12 @@ def save_checkpoint(output_dir: str, state, epoch: int, *,
     }
 
     def write():
-        with open(path, "wb") as f:
+        # temp-file + rename: a crash mid-write never leaves a truncated
+        # checkpoint under the final name
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
         if auto_remove and tag is None:
             for old in sorted(glob.glob(
                     os.path.join(output_dir, "checkpoint-*.msgpack"))):
@@ -215,10 +220,15 @@ def save_checkpoint(output_dir: str, state, epoch: int, *,
     if blocking:
         write()
     else:
+        import atexit
         import threading
-        global _ASYNC_SAVER
+        global _ASYNC_SAVER, _ATEXIT_REGISTERED
         if _ASYNC_SAVER is not None:
             _ASYNC_SAVER.join()           # at most one in-flight save
+        if not _ATEXIT_REGISTERED:
+            # never exit with a half-written final save in flight
+            atexit.register(wait_for_async_saves)
+            _ATEXIT_REGISTERED = True
         _ASYNC_SAVER = threading.Thread(target=write, daemon=True)
         _ASYNC_SAVER.start()
     return path

@@ -106,7 +106,12 @@ class SegRunner:
         self.logger.info(f"seg trainable (M): {count_params(trainable, False) / 1e6:.2f}")
 
         sched = poly_schedule(cfg.optim.lr or 1e-3, total_iters)
-        self.tx = optax.adamw(sched, weight_decay=0.05)
+        # honor the CLI optim knobs (reference seg config: AdamW wd 0.05,
+        # configs/beit/upernet/our_vit.py — kept as the config default)
+        tx = optax.adamw(sched, weight_decay=cfg.optim.weight_decay)
+        self.tx = (optax.chain(optax.clip_by_global_norm(cfg.optim.clip_grad),
+                               tx)
+                   if cfg.optim.clip_grad is not None else tx)
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 1))
         self.state = M.shard_state(self.mesh, state)

@@ -88,7 +88,8 @@ class VideoRunner:
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,
             steps_per_epoch=max(self.steps_per_epoch, 1),
-            weight_decay=cfg.optim.weight_decay)
+            weight_decay=cfg.optim.weight_decay,
+            clip_grad=cfg.optim.clip_grad)
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
         self.state = M.shard_state(self.mesh, state)

@@ -18,6 +18,8 @@ def get_args_parser():
 
 
 def main(args):
+    from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     cfg = args_to_config(args)
     runner = Runner(cfg)
     if args.eval:

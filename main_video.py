@@ -5,9 +5,10 @@ batch 16/process, blr 1e-3, K400 12 epochs / SSv2 50 epochs, warmup 2,
 8 frames)."""
 
 import argparse
+import dataclasses
 
 from dynamic_tuning_tpu.cli import add_common_args, args_to_config
-from dynamic_tuning_tpu.config import DataConfig, ModelConfig
+from dynamic_tuning_tpu.config import DataConfig
 from dynamic_tuning_tpu.train.video_runner import VideoRunner
 
 
@@ -23,12 +24,12 @@ def get_args_parser():
     return parser
 
 
-def main(args):
+def build_config(args):
     cfg = args_to_config(args)
-    cfg = cfg.replace(
-        model=ModelConfig(num_classes=args.nb_classes,
-                          drop_path_rate=args.drop_path,
-                          num_frames=args.num_frames),
+    return cfg.replace(
+        # extend (not rebuild) the CLI-derived ModelConfig so knobs like
+        # gelu_approx / residual_dtype / remat reach the video path too
+        model=dataclasses.replace(cfg.model, num_frames=args.num_frames),
         data=DataConfig(dataset=args.dataset, data_path=args.data_path,
                         batch_size=args.batch_size,
                         num_workers=args.num_workers,
@@ -42,7 +43,12 @@ def main(args):
                         randaug=("rand-m7-n4-mstd0.5-inc1"
                                  if args.dataset in ("ssv2", "sthv2")
                                  else None)))
-    runner = VideoRunner(cfg)
+
+
+def main(args):
+    from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+    runner = VideoRunner(build_config(args))
     if args.eval:
         return runner.evaluate()
     return runner.run()

@@ -35,6 +35,8 @@ def run_task(args, task: str):
 
 
 def main(args):
+    from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     tasks = list(VTAB_TASKS) if args.task == "all" else [args.task]
     results = {}
     for task in tasks:

@@ -191,19 +191,23 @@ struct Loader {
   std::atomic<int> active_workers{0};
 
   void build_order(int epoch) {
-    order.clear();
-    for (int64_t i = proc_index; i < int64_t(paths.size()); i += proc_count)
-      order.push_back(i);
+    // full index space (shuffled or sequential), padded to a multiple of
+    // proc_count by repeating leading indices (DistributedSampler
+    // semantics) so every process gets the same number of samples/batches,
+    // then stride-sharded
+    std::vector<int64_t> all(paths.size());
+    for (size_t i = 0; i < all.size(); ++i) all[i] = i;
     if (shuffle) {
-      // shuffle over the FULL index space then shard, so shards stay disjoint
-      std::vector<int64_t> all(paths.size());
-      for (size_t i = 0; i < all.size(); ++i) all[i] = i;
       std::mt19937_64 rng(seed + uint64_t(epoch));
       std::shuffle(all.begin(), all.end(), rng);
-      order.clear();
-      for (size_t i = proc_index; i < all.size(); i += proc_count)
-        order.push_back(all[i]);
     }
+    const int64_t total =
+        (int64_t(all.size()) + proc_count - 1) / proc_count * proc_count;
+    for (int64_t i = int64_t(all.size()); i < total; ++i)
+      all.push_back(all[i - int64_t(paths.size())]);
+    order.clear();
+    for (size_t i = proc_index; i < all.size(); i += proc_count)
+      order.push_back(all[i]);
     const int64_t n = order.size();
     num_batches = drop_last ? n / batch_size : (n + batch_size - 1) / batch_size;
     next_batch = 0;
@@ -304,11 +308,9 @@ void* dyt_loader_create(const char** paths, const int32_t* labels, int64_t n,
 
 int64_t dyt_loader_num_batches(void* handle) {
   auto* L = static_cast<Loader*>(handle);
-  std::vector<int64_t> tmp;
-  int64_t n = 0;
-  for (int64_t i = L->proc_index; i < int64_t(L->paths.size());
-       i += L->proc_count)
-    ++n;
+  // padded-shard size: identical on every process
+  const int64_t n = (int64_t(L->paths.size()) + L->proc_count - 1) /
+                    L->proc_count;
   return L->drop_last ? n / L->batch_size
                       : (n + L->batch_size - 1) / L->batch_size;
 }

@@ -28,6 +28,8 @@ def get_args_parser():
 
 
 def main(args):
+    from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     cfg = args_to_config(args)
     cfg = cfg.replace(model=ModelConfig(img_size=args.crop_size,
                                         drop_path_rate=args.drop_path))

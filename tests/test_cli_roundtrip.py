@@ -1,0 +1,44 @@
+"""CLI knob round-trip: flags must reach the config every entry point uses
+(VERDICT r1: gelu_approx/residual_dtype/remat were dropped by main_video,
+clip_grad/weight_decay by the seg runner)."""
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def test_video_config_forwards_model_knobs():
+    import main_video
+
+    args = main_video.get_args_parser().parse_args(
+        ["--gelu_approx", "--remat", "--residual_dtype", "bfloat16",
+         "--clip_grad", "1.0", "--dataset", "ssv2", "--num_frames", "16"])
+    cfg = main_video.build_config(args)
+    assert cfg.model.gelu_approx is True
+    assert cfg.model.remat is True
+    assert cfg.model.residual_dtype == "bfloat16"
+    assert cfg.model.num_frames == 16
+    assert cfg.optim.clip_grad == 1.0
+    assert cfg.data.randaug == "rand-m7-n4-mstd0.5-inc1"   # SSv2 recipe
+
+
+def test_image_config_forwards_clip_grad():
+    import main_image
+    from dynamic_tuning_tpu.cli import args_to_config
+
+    args = main_image.get_args_parser().parse_args(
+        ["--clip_grad", "0.5", "--weight_decay", "0.2"])
+    cfg = args_to_config(args)
+    assert cfg.optim.clip_grad == 0.5
+    assert cfg.optim.weight_decay == 0.2
+
+
+def test_seg_defaults_keep_reference_wd():
+    import seg_train
+    from dynamic_tuning_tpu.cli import args_to_config
+
+    args = seg_train.get_args_parser().parse_args([])
+    cfg = args_to_config(args)
+    # reference seg config: AdamW weight_decay 0.05
+    # (configs/beit/upernet/our_vit.py)
+    assert cfg.optim.weight_decay == 0.05
