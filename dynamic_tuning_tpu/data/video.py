@@ -83,7 +83,8 @@ class VideoDataset:
     def __init__(self, root: str, listfile: str, *, clip_len: int = 8,
                  sampling_rate: int = 16, canvas: int = 320,
                  test_mode: bool = False, test_num_segment: int = 3,
-                 test_num_crop: int = 1, num_classes: int = 400, seed: int = 0):
+                 test_num_crop: int = 1, num_classes: int = 400, seed: int = 0,
+                 spatial_size: Optional[int] = None):
         if not _have_cv2():
             raise ImportError("video decode needs OpenCV (cv2)")
         self.root = root
@@ -103,6 +104,11 @@ class VideoDataset:
         self.test_num_crop = test_num_crop
         self.num_classes = num_classes
         self.metric = "accuracy"
+        # eval protocol: when set, test views are REAL spatial crops — short
+        # side resized to spatial_size (aspect kept) and crops taken at
+        # offsets (0, margin//2, margin) along the long axis, mirroring the
+        # reference (_generate_spatial_crops, video_datasets/k400.py:281-300)
+        self.spatial_size = spatial_size
         self._rs = np.random.RandomState(seed)
 
     def __len__(self):
@@ -129,6 +135,63 @@ class VideoDataset:
         cap.release()
         return np.stack([frames[int(i)] for i in indices])
 
+    def _decode_aspect(self, path: str, indices: np.ndarray,
+                       short_side: int) -> np.ndarray:
+        """Decode frames with short side resized to ``short_side``, aspect
+        kept (no crop) — feeds the real spatial multi-crop eval."""
+        import cv2
+
+        cap = cv2.VideoCapture(os.path.join(self.root, path))
+        frames = {}
+        want = sorted(set(int(i) for i in indices))
+        pos = -1
+        shape = None
+        for i in want:
+            if i != pos + 1:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ok, frame = cap.read()
+            pos = i
+            if ok:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                h, w = frame.shape[:2]
+                scale = short_side / min(h, w)
+                frame = cv2.resize(frame, (max(int(round(w * scale)), short_side),
+                                           max(int(round(h * scale)), short_side)),
+                                   interpolation=cv2.INTER_LINEAR)
+                shape = frame.shape
+            else:
+                frame = None
+            frames[i] = frame
+        cap.release()
+        if shape is None:
+            shape = (short_side, short_side, 3)
+        out = [frames[int(i)] if frames[int(i)] is not None
+               else np.zeros(shape, np.uint8) for i in indices]
+        return np.stack(out)
+
+    @staticmethod
+    def spatial_crops(frames: np.ndarray, size: int, num_crops: int
+                      ) -> List[np.ndarray]:
+        """Reference eval spatial sampling (video_datasets/k400.py:281-300):
+        1 crop -> center; 3 crops -> offsets (0, margin//2, margin) along the
+        long axis of short-side-resized frames."""
+        h, w = frames.shape[1:3]
+        if num_crops == 1:
+            ht, wt = (h - size) // 2, (w - size) // 2
+            return [frames[:, ht:ht + size, wt:wt + size]]
+        margin = max(h, w) - size
+        outs = []
+        for st in (0, margin // 2, margin):
+            if h > w:
+                outs.append(frames[:, st:st + size, :size] if w == size
+                            else frames[:, st:st + size, (w - size) // 2:
+                                        (w - size) // 2 + size])
+            else:
+                outs.append(frames[:, :size, st:st + size] if h == size
+                            else frames[:, (h - size) // 2:
+                                        (h - size) // 2 + size, st:st + size])
+        return outs
+
     def _num_frames(self, path: str) -> int:
         import cv2
 
@@ -149,9 +212,14 @@ class VideoDataset:
         for seg in range(self.test_num_segment):
             idx = sample_indices_test(n, self.clip_len, self.rate, seg,
                                       self.test_num_segment)
-            clip = self._decode(path, idx)
-            for _ in range(self.test_num_crop):
-                views.append(clip)
+            if self.spatial_size is not None:
+                clip = self._decode_aspect(path, idx, self.spatial_size)
+                views.extend(self.spatial_crops(clip, self.spatial_size,
+                                                self.test_num_crop))
+            else:
+                clip = self._decode(path, idx)
+                for _ in range(self.test_num_crop):
+                    views.append(clip)
         return np.stack(views), label
 
 
@@ -195,7 +263,7 @@ class DummyVideoDataset:
 
 def build_video_dataset(dataset: str, data_path: str, *, clip_len: int = 8,
                         sampling_rate: int = 16, test_num_segment: int = 3,
-                        test_num_crop: int = 1):
+                        test_num_crop: int = 1, spatial_size: int = 224):
     """-> (train_ds, val_ds, num_classes) (reference build_dataset,
     video_datasets/video_datasets.py:10-87: K400 rate 16, val 3 temporal x 1
     spatial; SSv2 TSN rate 0, val 1 temporal x 3 spatial)."""
@@ -218,5 +286,6 @@ def build_video_dataset(dataset: str, data_path: str, *, clip_len: int = 8,
     val = VideoDataset(data_path, os.path.join(data_path, "val.csv"),
                        clip_len=clip_len, sampling_rate=rate, canvas=256,
                        test_mode=True, test_num_segment=test_num_segment,
-                       test_num_crop=test_num_crop, num_classes=nc)
+                       test_num_crop=test_num_crop, num_classes=nc,
+                       spatial_size=spatial_size)
     return train, val, nc

@@ -70,12 +70,13 @@ def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("crop", "min_size", "max_size", "train",
-                                   "inception", "flip", "randaug"))
+                                   "inception", "flip", "randaug",
+                                   "pre_cropped"))
 def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
                        min_size: int = 256, max_size: int = 320,
                        train: bool = True, inception: bool = False,
-                       flip: bool = True, randaug: str | None = None
-                       ) -> jax.Array:
+                       flip: bool = True, randaug: str | None = None,
+                       pre_cropped: bool = False) -> jax.Array:
     """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] normalized float32.
 
     ``randaug`` (e.g. "rand-m7-n4-mstd0.5-inc1", the SSv2 recipe,
@@ -105,6 +106,10 @@ def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
 
         rngs = jax.random.split(rng, clips.shape[0])
         out = jax.vmap(one)(rngs, clips)
+    elif pre_cropped:
+        # host already produced the spatial view crops (VideoDataset
+        # spatial_size path) — only normalization remains
+        out = clips.astype(jnp.float32)
     else:
         out = jax.vmap(lambda c: clip_uniform_crop(
             c, resize_to=min_size, crop=crop, spatial_idx=1,

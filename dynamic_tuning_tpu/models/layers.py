@@ -126,13 +126,22 @@ def _relative_position_index(wh: int, ww: int):
     return idx.astype(np.int32), num_rel + 3
 
 
+def _fused_serving_mode() -> str:
+    """'1' (on, TPU only), '0' (off), or 'interpret' (tests on CPU)."""
+    import os
+
+    return os.environ.get("DYT_FUSED_ATTN", "1")
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (reference vision_transformer_IN21K.py:27-75).
 
-    Single fused qkv projection; softmax in fp32 (AMP parity).  Sequence
-    lengths here are tiny (197-1577 tokens) so XLA's fused attention is at
-    speed-of-light; a Pallas flash-attention kernel (ops/flash_attention.py)
-    can be enabled for the longer video/seg sequences.
+    Single fused qkv projection; softmax in fp32 (AMP parity).  The
+    deterministic/serving path uses the fused Pallas kernel
+    (ops/mha_serving.py) which consumes the raw [B,N,3C] qkv buffer and emits
+    [B,N,C] directly — the XLA relayouts around the core cost more than the
+    attention math itself (scripts/profile_mha_redo.py: 1.12 ms -> 0.67 ms
+    per ViT-B block at batch 128).
 
     ``window_size=(h, w)`` adds a learnable BEiT-style relative-position bias
     over the patch grid + CLS (segmentation backbone).
@@ -165,6 +174,23 @@ class Attention(nn.Module):
             bias = jnp.concatenate([q_bias, jnp.zeros((C,), jnp.float32),
                                     v_bias]).astype(qkv.dtype)
             qkv = qkv + bias
+
+        fused_mode = _fused_serving_mode()
+        can_fuse = (deterministic and self.attn_drop == 0.0
+                    and self.window_size is None
+                    and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
+                    and fused_mode != "0"
+                    and (fused_mode == "interpret"
+                         or jax.default_backend() == "tpu"))
+        if can_fuse:
+            from dynamic_tuning_tpu.ops.mha_serving import mha_serving_fused
+
+            out = mha_serving_fused(qkv, heads=self.num_heads,
+                                    interpret=fused_mode == "interpret")
+            out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_02,
+                           name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
         # explicit [3,B,H,N,D] layout + batched dot_general: ~27% faster than
         # the einsum lowering on TPU (scripts/profile_attn2.py), numerically
         # identical

@@ -83,3 +83,117 @@ def mha_serving_reference(q, k, v):
                             preferred_element_type=jnp.float32)
     l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     return (o / l).astype(q.dtype)
+
+
+# --- fused layout-free kernel -------------------------------------------------
+#
+# The version above still pays XLA's layout taxes around it: the [B,N,3C] qkv
+# projection output must be transposed to [3,B,H,N,hd] before the core and the
+# [B,H,N,hd] result transposed back — two full HBM round-trips of the
+# activation tensor.  This kernel consumes the RAW fused-qkv layout and emits
+# the [B,N,C] layout the output projection wants, so the attention sublayer
+# becomes  Dense(qkv) -> kernel -> Dense(proj)  with zero relayouts.
+#
+# Head-pair tiling: with hd=64, single-head tiles [N,64] waste half of every
+# 128-wide VPU/MXU lane vector.  Heads 2p and 2p+1 occupy one 128-lane-aligned
+# slice of the qkv buffer, so each pair is processed as one [N,128] tile:
+#   q0 = qp masked to lanes <64, q1 = qp - q0
+#   s_h = (q_h * scale) @ kp^T        (K=128, half zeros == padded K=64, but
+#                                      the tile comes straight from the fused
+#                                      buffer with no relayout)
+#   p_h = exp(clip(s_h)-20)           (the serving no-max softmax, fp32)
+#   o   = select(lane<64, p0 @ vp, p1 @ vp) * reciprocal(l)
+# Everything stays in VMEM between the two matmuls — the [N,N] score tile
+# never touches HBM (XLA materializes it: ~240 MB/block round-trip at B=128).
+
+
+def _mha_fused_kernel(qkv_ref, o_ref, *, heads: int, hd: int, scale: float,
+                      group: int):
+    """One batch sample.  Heads are processed ``group`` at a time as ONE pair
+    of matmuls via block-diagonal row-stacking:
+
+      lhs [g*N, g*hd]  row block j = q of head j, masked to its own lane band
+      s   = lhs @ k_grp^T   -> [g*N, N]   every row valid (block-diag zeros
+                                           kill the cross-head lane products)
+      o   = softmax(s) @ v_grp -> [g*N, g*hd]; head j's output sits at
+            (row block j, lane band j) -- assembled with g masked adds.
+
+    The g x flop inflation is deliberate: per-matmul MXU issue overhead
+    (~0.5 us) dominates at [197, 64]-sized operands, so fewer/bigger matmuls
+    win even at g x the arithmetic (measured: group=2 -> 24 matmuls/sample
+    1.75 ms; see scripts/profile_mha_variants.py)."""
+    N = qkv_ref.shape[1]
+    C = heads * hd
+    G = group * hd                                      # lanes per group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, G), 1)
+    bands = [jnp.logical_and(lane >= j * hd, lane < (j + 1) * hd)
+             for j in range(group)]
+    for i in range(heads // group):
+        q_grp = qkv_ref[0, :, G * i: G * (i + 1)]
+        k_grp = qkv_ref[0, :, C + G * i: C + G * (i + 1)]
+        v_grp = qkv_ref[0, :, 2 * C + G * i: 2 * C + G * (i + 1)]
+        q_grp = (q_grp.astype(jnp.float32) * scale).astype(q_grp.dtype)
+        lhs = jnp.concatenate(
+            [jnp.where(bands[j], q_grp, jnp.zeros_like(q_grp))
+             for j in range(group)], axis=0)            # [g*N, G]
+        s = jax.lax.dot_general(lhs, k_grp, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)    # [g*N, N] fp32
+        l = jnp.sum(p, axis=-1, keepdims=True)          # [g*N, 1]
+        o_all = jax.lax.dot_general(p.astype(q_grp.dtype), v_grp,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        o_all = o_all * (1.0 / l)                       # [g*N, G]
+        out = jnp.where(bands[0], o_all[0:N], 0.0)
+        for j in range(1, group):
+            out = out + jnp.where(bands[j], o_all[j * N:(j + 1) * N], 0.0)
+        o_ref[0, :, G * i: G * (i + 1)] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "group", "interpret"))
+def mha_serving_fused(qkv: jax.Array, *, heads: int, group: int = 2,
+                      interpret: bool = False) -> jax.Array:
+    """Fused serving attention: [B, N, 3C] raw qkv -> [B, N, C].
+
+    Consumes the fused qkv projection output directly and emits the layout the
+    output projection wants — no XLA transposes anywhere (they cost more than
+    the attention math itself: see scripts/profile_mha_fused.py).
+    ``group`` heads share each matmul pair (block-diag row stacking).
+    Requires group | heads and (group*hd) % 128 == 0 for lane alignment.
+    Deterministic path only (no dropout).  Numerics identical to
+    ``mha_serving_reference``.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    assert heads % group == 0 and hd * heads == C, (heads, group, C)
+    assert (group * hd) % 128 == 0, (group, hd)
+    scale = hd ** -0.5
+    flops = 2 * 2 * B * heads * N * N * group * hd
+    return pl.pallas_call(
+        functools.partial(_mha_fused_kernel, heads=heads, hd=hd, scale=scale,
+                          group=group),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + B * N * C * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv)
+
+
+def mha_fused_reference(qkv: jax.Array, *, heads: int) -> jax.Array:
+    """XLA path the fused kernel replaces: transpose -> core -> transpose."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    q, k, v = (qkv.reshape(B, N, 3, heads, hd).transpose(2, 0, 3, 1, 4))
+    o = mha_serving_reference(q, k, v)                  # [B, H, N, hd]
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C)

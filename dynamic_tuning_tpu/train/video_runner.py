@@ -45,7 +45,8 @@ class VideoRunner:
             cfg.data.dataset, cfg.data.data_path,
             clip_len=cfg.data.num_frames, sampling_rate=cfg.data.sampling_rate,
             test_num_segment=cfg.data.test_num_segment,
-            test_num_crop=cfg.data.test_num_crop)
+            test_num_crop=cfg.data.test_num_crop,
+            spatial_size=cfg.model.img_size)
         self.nb_classes = nb_classes
         self.train_loader = DataLoader(
             train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
@@ -142,7 +143,9 @@ class VideoRunner:
             xb = augment_clip_batch(jax.random.PRNGKey(0), flat,
                                     crop=self.model_cfg.img_size,
                                     inception=self.cfg.data.inception_norm,
-                                    train=False)
+                                    train=False,
+                                    pre_cropped=flat.shape[2]
+                                    == self.model_cfg.img_size)
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
             per_view = np.asarray(logits).reshape(B, V, -1)

@@ -1,0 +1,43 @@
+"""Timing utilities for the axon-tunneled chip.
+
+The tunnel adds a large, drifting per-call round-trip (~25ms observed), so
+naive per-call timing is garbage.  ``device_time`` cancels it by timing the
+same scan at two iteration counts and differencing:
+
+    t(I) = RTT + I * per_iter   =>   per_iter = (t(I2) - t(I1)) / (I2 - I1)
+
+Repeats interleave the two counts so drift in RTT/chip speed mostly cancels.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+I1, I2 = 5, 55
+REPEATS = 5
+
+
+def _make_scan(fn, iters, *args):
+    @jax.jit
+    def many(*a):
+        def body(c, _):
+            perturbed = (a[0] + (c * 1e-30).astype(a[0].dtype),) + a[1:]
+            return fn(*perturbed).astype(jnp.float32).sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return out
+    _ = float(many(*args))  # compile + warm
+    return many
+
+def device_time(fn, *args, i1=I1, i2=I2, repeats=REPEATS):
+    """Per-iteration device time of fn(*args), seconds, tunnel-RTT-free."""
+    m1 = _make_scan(fn, i1, *args)
+    m2 = _make_scan(fn, i2, *args)
+    best1 = best2 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(m1(*args))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(m2(*args))
+        best2 = min(best2, time.perf_counter() - t0)
+    return (best2 - best1) / (i2 - i1)

@@ -1,0 +1,75 @@
+"""Fused serving MHA kernel (ops/mha_serving.py): parity with the XLA
+serving branch it replaces, across shapes, in interpret mode (CPU CI).
+
+Replaces the reference's F.scaled_dot_product_attention serving call
+(/root/reference/models/vision_transformer_IN21K.py:60-64) on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynamic_tuning_tpu.ops.mha_serving import (mha_fused_reference,
+                                                mha_serving_fused,
+                                                mha_serving_reference)
+
+
+@pytest.mark.parametrize("B,N,H,hd", [(2, 17, 12, 64), (1, 197, 2, 64),
+                                      (2, 33, 4, 128)])
+def test_fused_matches_reference(B, N, H, hd):
+    C = H * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C), jnp.float32)
+    want = mha_fused_reference(qkv, heads=H)
+    got = mha_serving_fused(qkv, heads=H, group=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_group_sizes_agree():
+    B, N, H, hd = 2, 29, 12, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3 * H * hd), jnp.float32)
+    base = mha_serving_fused(qkv, heads=H, group=2, interpret=True)
+    for g in (4, 6, 12):
+        got = mha_serving_fused(qkv, heads=H, group=g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_large_scores_finite():
+    # clamped no-max softmax must survive score magnitudes ~100
+    B, N, H, hd = 1, 9, 2, 64
+    qkv = 40.0 * jax.random.normal(jax.random.PRNGKey(2), (B, N, 3 * H * hd),
+                                   jnp.float32)
+    out = mha_serving_fused(qkv, heads=H, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_module_fused_path(monkeypatch):
+    """Attention with DYT_FUSED_ATTN=interpret == the XLA serving branch."""
+    from dynamic_tuning_tpu.models.layers import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 19, 768), jnp.float32)
+    attn = Attention(num_heads=12, dtype=jnp.float32)
+    monkeypatch.setenv("DYT_FUSED_ATTN", "0")
+    params = attn.init(jax.random.PRNGKey(4), x, deterministic=True)
+    want = attn.apply(params, x, deterministic=True)
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    got = attn.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qkv_packing_order():
+    """The kernel's lane banding must match reshape(B,N,3,H,hd) packing."""
+    B, N, H, hd = 1, 7, 2, 64
+    C = H * hd
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C), jnp.float32)
+    q, k, v = jnp.moveaxis(
+        qkv.reshape(B, N, 3, H, hd), 2, 0).transpose(0, 1, 3, 2, 4)
+    want = mha_serving_reference(q, k, v)          # [B, H, N, hd]
+    want = want.transpose(0, 2, 1, 3).reshape(B, N, C)
+    got = mha_serving_fused(qkv, heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -3,7 +3,7 @@
 
 import numpy as np
 
-from dynamic_tuning_tpu.parallel.multihost import maybe_initialize
+from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
 from dynamic_tuning_tpu.utils.pos_embed import (get_2d_sincos_pos_embed,
                                                 interpolate_pos_embed_video)
 
@@ -35,4 +35,4 @@ def test_video_tubelet_interpolation():
 
 def test_maybe_initialize_noop_single_host():
     # no env vars set -> no-op, returns False (or True on an already-init pod)
-    assert maybe_initialize() in (False, True)
+    assert maybe_initialize_distributed() in (False, True)

@@ -22,7 +22,11 @@ def video_root(tmp_path_factory):
                             (64, 48))
         assert w.isOpened()
         for t in range(40):
-            frame = np.full((48, 64, 3), (i * 60 + t) % 256, np.uint8)
+            # horizontal luminance gradient (codec-proof) so left/center/right
+            # spatial crops differ, scaled by a per-clip/-frame ramp
+            grad = np.linspace(0, 200, 64, dtype=np.uint8)[None, :, None]
+            frame = np.broadcast_to(grad, (48, 64, 3)).copy()
+            frame += np.uint8((i * 60 + t) % 56)
             w.write(frame)
         w.release()
         lines.append(f"clip{i}.mp4 {i}")
@@ -50,6 +54,40 @@ def test_test_mode_multiview(video_root):
     assert views.shape == (3, 4, 32, 32, 3)
     # temporal views differ (different segments of a ramp video)
     assert not np.array_equal(views[0], views[2])
+
+
+def test_spatial_multicrop_views_differ(video_root):
+    """SSv2 3-spatial-crop protocol: the 3 views are REAL left/center/right
+    crops (reference video_datasets/k400.py:281-300), not copies."""
+    ds = VideoDataset(video_root, os.path.join(video_root, "val.csv"),
+                      clip_len=4, sampling_rate=0, test_mode=True,
+                      test_num_segment=1, test_num_crop=3, num_classes=3,
+                      spatial_size=32)
+    views, _ = ds[0]
+    assert views.shape == (3, 4, 32, 32, 3)
+    left, center, right = views
+    # the source frames are 48x64 -> short side 32 resize gives 32x43 frames;
+    # crops slide along width over the horizontal gradient
+    assert left[..., 0].mean() < center[..., 0].mean() < right[..., 0].mean()
+    assert not np.array_equal(left, center)
+    assert not np.array_equal(center, right)
+
+
+def test_spatial_crops_match_reference_slices():
+    """spatial_crops == the reference's offsets (0, margin//2, margin) along
+    the long axis and a centered short axis."""
+    frames = np.arange(2 * 32 * 50 * 3, dtype=np.uint8).reshape(2, 32, 50, 3)
+    crops = VideoDataset.spatial_crops(frames, 32, 3)
+    margin = 50 - 32
+    for crop, st in zip(crops, (0, margin // 2, margin)):
+        np.testing.assert_array_equal(crop, frames[:, :, st:st + 32])
+    (center,) = VideoDataset.spatial_crops(frames, 32, 1)
+    np.testing.assert_array_equal(center, frames[:, :, 9:41])
+    # tall frames: crops slide along height
+    tall = frames.transpose(0, 2, 1, 3)
+    crops = VideoDataset.spatial_crops(tall, 32, 3)
+    for crop, st in zip(crops, (0, margin // 2, margin)):
+        np.testing.assert_array_equal(crop, tall[:, st:st + 32, :])
 
 
 def test_builder_k400_layout(video_root):
