@@ -31,37 +31,39 @@ def main():
 
     # inference-speed config for BOTH sides (the reference equally runs its
     # dense baseline and DyT under AMP, speed.py:247): bf16 residual stream,
-    # tanh GELU; the flax path (fastest for both modes) is benched
+    # tanh GELU; the flax path (fastest for both modes) is benched.
+    # Dense baseline = the PLAIN ViT-B (no adapter, no router) — the
+    # reference's dense comparator is models/original_vision_transformerl_
+    # IN21K.py (the commented import at speed.py:39), not the DyT model in
+    # complete mode.  Both models share the fused serving attention kernel.
     cfg = ModelConfig(num_classes=100, gelu_approx=True,
                       residual_dtype="bfloat16")
-    tuning = TuningConfig()
     sel = SelectConfig(token_target_ratio=0.5)
-    model = VisionTransformer(cfg, tuning=tuning, select=sel, dtype=jnp.bfloat16)
+    dyt_model = VisionTransformer(cfg, tuning=TuningConfig(), select=sel,
+                                  dtype=jnp.bfloat16)
+    dense_model = VisionTransformer(cfg, tuning=TuningConfig(ffn_adapt=False),
+                                    select=SelectConfig(open=False),
+                                    dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
+    dyt_params = dyt_model.init(jax.random.PRNGKey(1), x[:2])["params"]
+    dense_params = dense_model.init(jax.random.PRNGKey(1), x[:2])["params"]
 
-    # Both sides use their FASTEST implementation (integrity: no slow
-    # baseline).  The flax model path wins over the hand-written forward on
-    # both modes once the pretransposed attention landed in the shared Block
-    # (measured interleaved: flax dense 2469 vs hand 2272 img/s; flax
-    # dispatch 2853 vs hand 2791 — scripts in /tmp/path_compare).
     def make_fn(mode):
         if mode == "dense":
             def fn(p, xx):
-                logits, _ = model.apply({"params": p}, xx,
-                                        complete_model=True)
+                logits, _ = dense_model.apply({"params": p}, xx)
                 return logits.sum()
         else:
             def fn(p, xx):
-                logits, _ = model.apply({"params": p}, xx, dispatch=True)
+                logits, _ = dyt_model.apply({"params": p}, xx, dispatch=True)
                 return logits.sum()
         return fn
 
     # Repeats are interleaved dense/dispatch so chip-speed drift (shared /
     # remote chips) cancels out of the ratio.
-    def compile_many(mode):
+    def compile_many(mode, params):
         fn = make_fn(mode)
 
         @jax.jit
@@ -74,13 +76,14 @@ def main():
         _ = float(many(params, x))     # compile + warm
         return many
 
-    dense_many = compile_many("dense")
-    dyt_many = compile_many("dispatch")
+    dense_many = compile_many("dense", dense_params)
+    dyt_many = compile_many("dispatch", dyt_params)
     best = {"dense": float("inf"), "dyt": float("inf")}
     for _ in range(REPEATS):
-        for name, many in (("dense", dense_many), ("dyt", dyt_many)):
+        for name, many, p in (("dense", dense_many, dense_params),
+                              ("dyt", dyt_many, dyt_params)):
             t0 = time.perf_counter()
-            _ = float(many(params, x))
+            _ = float(many(p, x))
             best[name] = min(best[name], time.perf_counter() - t0)
     dense_ips = BATCH * ITERS / best["dense"]
     dyt_ips = BATCH * ITERS / best["dyt"]

@@ -133,6 +133,8 @@ class DataConfig:
     test_num_segment: int = 3
     test_num_crop: int = 1
     randaug: Optional[str] = None           # e.g. "rand-m7-n4-mstd0.5-inc1"
+    # train spatial resize: the reference default (k400.py:42)
+    train_resize_type: str = "random_resized_crop"  # | "random_short_side_scale_jitter"
 
 
 @dataclass(frozen=True)

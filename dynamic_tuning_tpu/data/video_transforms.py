@@ -69,14 +69,97 @@ def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
     return jnp.where(jax.random.bernoulli(rng), clip[:, :, ::-1, :], clip)
 
 
+def clip_random_resized_crop(rng: jax.Array, clip: jax.Array, *, crop: int,
+                             scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
+                             ) -> jax.Array:
+    """Inception-style RandomResizedCrop, ONE box for the whole clip
+    (reference transform.py:546-585 — the default train resize type of both
+    K400 and SSv2, k400.py:42/sthv2_dataset.py:42).  [T,H,W,C] ->
+    [T,crop,crop,C] float32."""
+    from dynamic_tuning_tpu.data.transforms import _sample_crop_box
+
+    T, H, W, C = clip.shape
+    top, left, ch, cw = _sample_crop_box(rng, H, W, scale, ratio)
+    scale_y, scale_x = crop / ch, crop / cw
+    return jax.image.scale_and_translate(
+        clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
+        jnp.stack([scale_y, scale_x]),
+        jnp.stack([-top * scale_y, -left * scale_x]), method="bilinear")
+
+
+# --- photometric clip transforms (reference transform.py:281-460) -------------
+
+
+def _grayscale(clip: jax.Array) -> jax.Array:
+    """Rec.601 luma broadcast over channels.  The reference comments its
+    input as BGR and indexes accordingly (transform.py:300-318); our pipeline
+    is RGB end to end, so the weights attach to the true R/G/B channels."""
+    gray = (0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2])
+    return jnp.broadcast_to(gray[..., None], clip.shape)
+
+
+def clip_color_jitter(rng: jax.Array, clip: jax.Array, *,
+                      brightness: float = 0.0, contrast: float = 0.0,
+                      saturation: float = 0.0) -> jax.Array:
+    """brightness/contrast/saturation jitter in a random order, one draw per
+    clip (reference color_jitter, transform.py:321-352).  Expects float
+    pixels; returns float32."""
+    x = clip.astype(jnp.float32)
+    k_perm, k_b, k_c, k_s = jax.random.split(rng, 4)
+    alphas = {
+        "b": 1.0 + jax.random.uniform(k_b, minval=-brightness, maxval=brightness),
+        "c": 1.0 + jax.random.uniform(k_c, minval=-contrast, maxval=contrast),
+        "s": 1.0 + jax.random.uniform(k_s, minval=-saturation, maxval=saturation),
+    }
+
+    def apply_b(x):
+        return x * alphas["b"] if brightness else x       # blend with zeros
+
+    def apply_c(x):
+        if not contrast:
+            return x
+        ref = jnp.mean(_grayscale(x))
+        return x * alphas["c"] + ref * (1.0 - alphas["c"])
+
+    def apply_s(x):
+        if not saturation:
+            return x
+        return x * alphas["s"] + _grayscale(x) * (1.0 - alphas["s"])
+
+    fns = [apply_b, apply_c, apply_s]
+    orders = []
+    import itertools
+    for perm in itertools.permutations(range(3)):
+        orders.append(lambda x, p=perm: fns[p[2]](fns[p[1]](fns[p[0]](x))))
+    idx = jax.random.randint(k_perm, (), 0, len(orders))
+    return jax.lax.switch(idx, orders, x)
+
+
+def clip_lighting_jitter(rng: jax.Array, clip: jax.Array, *, alphastd: float,
+                         eigval, eigvec) -> jax.Array:
+    """AlexNet-style PCA lighting noise, one draw per clip (reference
+    lighting_jitter, transform.py:413-460).  eigval [3], eigvec [3,3]."""
+    if alphastd == 0:
+        return clip.astype(jnp.float32)
+    alpha = alphastd * jax.random.normal(rng, (1, 3))
+    eigval = jnp.asarray(eigval, jnp.float32).reshape(1, 3)
+    eigvec = jnp.asarray(eigvec, jnp.float32)
+    rgb = jnp.sum(eigvec * alpha * eigval, axis=1)       # [3]
+    return clip.astype(jnp.float32) + rgb
+
+
 @partial(jax.jit, static_argnames=("crop", "min_size", "max_size", "train",
                                    "inception", "flip", "randaug",
-                                   "pre_cropped"))
+                                   "pre_cropped", "resize_type", "scale_min",
+                                   "scale_max"))
 def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
                        min_size: int = 256, max_size: int = 320,
                        train: bool = True, inception: bool = False,
                        flip: bool = True, randaug: str | None = None,
-                       pre_cropped: bool = False) -> jax.Array:
+                       pre_cropped: bool = False,
+                       resize_type: str = "random_resized_crop",
+                       scale_min: float = 0.08,
+                       scale_max: float = 1.0) -> jax.Array:
     """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] normalized float32.
 
     ``randaug`` (e.g. "rand-m7-n4-mstd0.5-inc1", the SSv2 recipe,
@@ -100,8 +183,13 @@ def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
 
         def one(r, clip):
             r1, r2 = jax.random.split(r)
-            out = clip_scale_jitter_crop(r1, clip, min_size=min_size,
-                                         max_size=max_size, crop=crop)
+            if resize_type == "random_resized_crop":
+                # reference train default (k400.py:42, sthv2_dataset.py:42)
+                out = clip_random_resized_crop(r1, clip, crop=crop,
+                                               scale=(scale_min, scale_max))
+            else:  # "random_short_side_scale_jitter"
+                out = clip_scale_jitter_crop(r1, clip, min_size=min_size,
+                                             max_size=max_size, crop=crop)
             return clip_hflip(r2, out) if flip else out
 
         rngs = jax.random.split(rng, clips.shape[0])

@@ -379,6 +379,116 @@ class TokenSelect(nn.Module):
         return jnp.concatenate([cls_on, gate], axis=1), logits
 
 
+# --- fused-sublayer param containers -------------------------------------------
+#
+# The whole-sublayer serving kernel (ops/mha_serving.py::attention_sublayer_
+# serving) needs raw LN/qkv/proj weights.  These containers declare params
+# with EXACTLY the tree the unfused nn.LayerNorm/Attention modules create, so
+# a model initialized through either branch has the same checkpoint layout.
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    n_in: int
+    n_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_02, (self.n_in, self.n_out),
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros_init(), (self.n_out,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
+class _KernelBias(nn.Module):
+    n_in: int
+    n_out: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, (self.n_in, self.n_out),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.n_out,),
+                       jnp.float32)
+        return k, b
+
+
+class _AdapterParams(nn.Module):
+    """down/up bottleneck params mirroring Adapter's tree (standard parallel
+    adapter only — no in/out LN, no MoE)."""
+
+    cfg: TuningConfig
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        if self.cfg.ffn_adapter_init_option == "lora":
+            down_init: Callable = torch_kaiming_uniform()
+            up_init: Callable = nn.initializers.zeros_init()
+        else:
+            down_init = up_init = trunc_normal_02
+        wd, bd = _KernelBias(self.dim, self.cfg.ffn_num, down_init,
+                             name="down_proj")()
+        wu, bu = _KernelBias(self.cfg.ffn_num, self.dim, up_init,
+                             name="up_proj")()
+        if self.cfg.ffn_adapter_scalar == "learnable_scalar":
+            scale = self.param("scale", nn.initializers.ones_init(), (1,),
+                               jnp.float32)
+        else:
+            scale = jnp.full((1,), float(self.cfg.ffn_adapter_scalar),
+                             jnp.float32)
+        return wd, bd, wu, bu, scale
+
+
+class _SelectParams(nn.Module):
+    """Router-head params mirroring TokenSelect's tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _KernelBias(self.dim, 1, trunc_normal_02, name="mlp_head")()
+
+
+class _AttnParams(nn.Module):
+    """qkv + proj (+ BEiT q/v biases) mirroring Attention's param tree."""
+
+    dim: int
+    qkv_bias: bool = True
+    qv_bias_only: bool = False
+
+    @nn.compact
+    def __call__(self):
+        use_fused_bias = self.qkv_bias and not self.qv_bias_only
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, use_fused_bias,
+                                  name="qkv")()
+        if self.qkv_bias and self.qv_bias_only:
+            q_bias = self.param("q_bias", nn.initializers.zeros_init(),
+                                (self.dim,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros_init(),
+                                (self.dim,), jnp.float32)
+            bqkv = jnp.concatenate(
+                [q_bias, jnp.zeros((self.dim,), jnp.float32), v_bias])
+        elif bqkv is None:
+            bqkv = jnp.zeros((3 * self.dim,), jnp.float32)
+        wproj, bproj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 # --- Transformer block ---------------------------------------------------------
 
 class Block(nn.Module):
@@ -421,29 +531,95 @@ class Block(nn.Module):
         # mark them static via static_argnums
         dim = x.shape[-1]
         deterministic = not training
+        head_dim = dim // self.num_heads
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
-                      self.proj_drop, window_size=self.window_size,
-                      qv_bias_only=self.qv_bias_only,
-                      dtype=self.dtype, name="attn")(
-                          h.astype(self.dtype), deterministic=deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path1")(
-            self._layer_scale("ls1_gamma", h), deterministic=deterministic)
+        fused_mode = _fused_serving_mode()
+        fuse_sublayer = (
+            deterministic and self.attn_drop == 0.0
+            and self.window_size is None and self.init_values is None
+            and not self.qv_bias_only
+            and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
+            and fused_mode != "0"
+            and (fused_mode == "interpret" or jax.default_backend() == "tpu"))
+        # standard parallel adapter fuses into the prologue kernel; MoE or
+        # in/out-LN adapters fall back to the module path
+        plain_adapter = (self.tuning.ffn_adapt
+                         and not (self.tuning.moe_experts
+                                  and self.tuning.moe_experts > 1)
+                         and self.tuning.ffn_adapter_layernorm_option == "none")
+        with_select = bool(self.select and not complete_model)
+        gate, logits, adapt_x = None, None, None
+        adapter_done = False
 
-        gate, logits = None, None
+        if fuse_sublayer and plain_adapter:
+            # DyT prologue kernel: attention sublayer + adapter + router head
+            # in one Pallas program while x_mid is in VMEM (ops/mha_serving.py)
+            from dynamic_tuning_tpu.ops.mha_serving import dyt_prologue_serving
+
+            g, bta = _LNParams(dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(
+                dim, self.qkv_bias, self.qv_bias_only, name="attn")()
+            wd, bd, wu, bu, ascale = _AdapterParams(
+                self.tuning, dim, name="adaptmlp")()
+            if with_select:
+                wsel, bsel = _SelectParams(dim, name="mlp_token_select")()
+            else:
+                wsel, bsel = jnp.zeros((dim, 1), jnp.float32), jnp.zeros((1,))
+            outs = dyt_prologue_serving(
+                x, g, bta, wqkv.astype(self.dtype), bqkv,
+                wproj.astype(self.dtype), bproj,
+                wd.astype(self.dtype), bd, wu.astype(self.dtype), bu, ascale,
+                wsel, bsel, heads=self.num_heads, with_select=with_select,
+                interpret=fused_mode == "interpret")
+            if with_select:
+                x, adapt_x, sel = outs
+                logits = sel[:, 1:, :]                  # strip CLS row
+                from dynamic_tuning_tpu.ops.gumbel import gumbel_sigmoid as _gs
+                soft = _gs(logits, None, tau=self.select_cfg.tau, hard=True,
+                           threshold=self.select_cfg.threshold, training=False)
+                cls_on = jnp.ones((x.shape[0], 1, 1), soft.dtype)
+                gate = jnp.concatenate([cls_on, soft], axis=1)
+            else:
+                x, adapt_x = outs
+            adapter_done = True
+        elif fuse_sublayer:
+            from dynamic_tuning_tpu.ops.mha_serving import \
+                attention_sublayer_serving
+
+            g, bta = _LNParams(dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(
+                dim, self.qkv_bias, self.qv_bias_only, name="attn")()
+            # x keeps its residual dtype; LN/accumulation are fp32 in-kernel
+            x = attention_sublayer_serving(
+                x, g, bta, wqkv.astype(self.dtype), bqkv,
+                wproj.astype(self.dtype), bproj, heads=self.num_heads,
+                interpret=fused_mode == "interpret")
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
+                          self.proj_drop, window_size=self.window_size,
+                          qv_bias_only=self.qv_bias_only,
+                          dtype=self.dtype, name="attn")(
+                              h.astype(self.dtype), deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path1")(
+                self._layer_scale("ls1_gamma", h), deterministic=deterministic)
+
         # Teacher (complete_model) pass: the reference still evaluates the
         # router but discards its output (vision_transformer_IN21K.py:161);
         # no gradient flows through it, so skipping it here is numerically
         # identical and strictly cheaper.
-        if self.select and not complete_model:
+        if with_select and gate is None:
             gate, logits = TokenSelect(
                 tau=self.select_cfg.tau, is_hard=True,
                 threshold=self.select_cfg.threshold, dtype=self.dtype,
                 name="mlp_token_select")(x, training=training)
 
-        adapt_x = make_adapter(self.tuning, self.dtype)(
-            x.astype(self.dtype), deterministic=deterministic)
+        # ffn_adapt=False -> plain ViT block, no adapter params (reference
+        # gates the adapter on tuning_config.ffn_adapt,
+        # vision_transformer_IN21K.py:152-157)
+        if self.tuning.ffn_adapt and not adapter_done:
+            adapt_x = make_adapter(self.tuning, self.dtype)(
+                x.astype(self.dtype), deterministic=deterministic)
 
         norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
         mlp = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
@@ -482,5 +658,7 @@ class Block(nn.Module):
             if gate is not None and not complete_model:
                 mlp_x = gate.astype(mlp_x.dtype) * mlp_x
 
-        x = x + mlp_x.astype(x.dtype) + adapt_x.astype(x.dtype)
+        x = x + mlp_x.astype(x.dtype)
+        if adapt_x is not None:
+            x = x + adapt_x.astype(x.dtype)
         return x, gate, logits

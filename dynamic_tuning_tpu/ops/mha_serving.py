@@ -197,3 +197,267 @@ def mha_fused_reference(qkv: jax.Array, *, heads: int) -> jax.Array:
     q, k, v = (qkv.reshape(B, N, 3, heads, hd).transpose(2, 0, 3, 1, 4))
     o = mha_serving_reference(q, k, v)                  # [B, H, N, hd]
     return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+# --- whole-sublayer kernel ----------------------------------------------------
+#
+# One further fusion level: the ENTIRE pre-norm attention sublayer
+#     out = x + proj(attn_core(qkv(LN(x))))
+# as one Pallas program per sample with the qkv/proj weights VMEM-resident
+# across the grid.  Removes every intermediate HBM tensor of the sublayer:
+# the LN output, the [B,N,3C] qkv buffer (232 MB round-trip at bench shapes),
+# the core output, and the pre-residual projection — only x is read and
+# x+attn written.  Replaces Block's norm1+Attention serving composition
+# (reference vision_transformer_IN21K.py:144-150).
+
+
+def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, o_ref, qkv_s, out_s,
+                          *, heads: int, hd: int, scale: float):
+    N, C = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + 1e-6) * g_ref[0] + b_ref[0]   # fp32 [N, C]
+    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
+    left = lane < hd
+    for p in range(heads // 2):
+        qp = qkv_s[:, 2 * hd * p: 2 * hd * (p + 1)]
+        kp = qkv_s[:, C + 2 * hd * p: C + 2 * hd * (p + 1)]
+        vp = qkv_s[:, 2 * C + 2 * hd * p: 2 * C + 2 * hd * (p + 1)]
+        qp = (qp.astype(jnp.float32) * scale).astype(qp.dtype)
+        q0 = jnp.where(left, qp, jnp.zeros_like(qp))
+        lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2N, 128]
+        s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        o_all = o_all * (1.0 / l)
+        out = (jnp.where(left, o_all[0:N], 0.0)
+               + jnp.where(left, 0.0, o_all[N:2 * N]))
+        out_s[:, 2 * hd * p: 2 * hd * (p + 1)] = out.astype(out_s.dtype)
+
+    proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    o_ref[0] = (xf + proj + bproj_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def attention_sublayer_serving(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                               wqkv: jax.Array, bqkv: jax.Array,
+                               wproj: jax.Array, bproj: jax.Array, *,
+                               heads: int, interpret: bool = False
+                               ) -> jax.Array:
+    """x [B,N,C] -> x + proj(mha(qkv(LN(x)))), deterministic serving path.
+
+    gamma/beta: LN params fp32 [C].  wqkv [C,3C] / wproj [C,C] in compute
+    dtype; biases fp32 [3C]/[C] (bqkv must include the BEiT q/v bias when
+    qv_bias_only — the k slot zero).  Same restrictions as mha_serving_fused:
+    heads even, (2*head_dim) % 128 == 0, no attention bias, no dropout.
+    """
+    B, N, C = x.shape
+    hd = C // heads
+    assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
+    scale = hd ** -0.5
+    dtype = wqkv.dtype
+    flops = 2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
+    const = lambda b: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_attn_sublayer_kernel, heads=heads, hd=hd,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((N, 3 * C), dtype),
+                        pltpu.VMEM((N, C), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N,
+            bytes_accessed=2 * x.size * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32), wqkv,
+      bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
+      bproj.reshape(1, C).astype(jnp.float32))
+
+
+# --- DyT block prologue: sublayer + adapter + router head ---------------------
+#
+# The DyT block reads the post-attention activation x_mid three more times
+# from HBM: the parallel adapter (dynamic_adapter.py:80-140), the router head
+# (dynamic_adapter.py:58-77), and the MLP/dispatch input.  The adapter and
+# router are tiny matmuls (40 MFLOP + 0.3 MFLOP per sample) whose cost is
+# pure memory traffic — computing them inside the sublayer kernel while x_mid
+# is still in VMEM makes them almost free.
+
+
+def _dyt_prologue_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, wd_ref, bd_ref, wu_ref,
+                         bu_ref, asc_ref, wsel_ref, bsel_ref,
+                         o_ref, adapt_ref, sel_ref, qkv_s, out_s,
+                         *, heads: int, hd: int, scale: float,
+                         with_select: bool):
+    N, C = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + 1e-6) * g_ref[0] + b_ref[0]
+    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
+    left = lane < hd
+    for p in range(heads // 2):
+        qp = qkv_s[:, 2 * hd * p: 2 * hd * (p + 1)]
+        kp = qkv_s[:, C + 2 * hd * p: C + 2 * hd * (p + 1)]
+        vp = qkv_s[:, 2 * C + 2 * hd * p: 2 * C + 2 * hd * (p + 1)]
+        qp = (qp.astype(jnp.float32) * scale).astype(qp.dtype)
+        q0 = jnp.where(left, qp, jnp.zeros_like(qp))
+        lhs = jnp.concatenate([q0, qp - q0], axis=0)
+        s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        o_all = o_all * (1.0 / l)
+        out = (jnp.where(left, o_all[0:N], 0.0)
+               + jnp.where(left, 0.0, o_all[N:2 * N]))
+        out_s[:, 2 * hd * p: 2 * hd * (p + 1)] = out.astype(out_s.dtype)
+
+    proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    xm = xf + proj + bproj_ref[0]                       # fp32 [N, C]
+    o_ref[0] = xm.astype(o_ref.dtype)
+
+    # adapter: up(relu(down(x_mid))) * scale, eval (no dropout)
+    xm_c = xm.astype(wd_ref.dtype)
+    down = jax.lax.dot_general(xm_c, wd_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    down = jnp.maximum(down + bd_ref[0], 0.0).astype(wd_ref.dtype)
+    up = jax.lax.dot_general(down, wu_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    adapt_ref[0] = ((up + bu_ref[0]) * asc_ref[0, 0]).astype(adapt_ref.dtype)
+
+    if with_select:
+        # router head: fp32 1-unit Dense on x_mid (caller strips CLS row)
+        logits = jax.lax.dot_general(xm, wsel_ref[...],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        sel_ref[0] = logits + bsel_ref[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "with_select", "interpret"))
+def dyt_prologue_serving(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                         wdown, bdown, wup, bup, adapter_scale, wsel, bsel,
+                         *, heads: int, with_select: bool = True,
+                         interpret: bool = False):
+    """Fused DyT serving prologue:
+        x_mid  = x + proj(mha(qkv(LN(x))))
+        adapt  = up(relu(down(x_mid))) * adapter_scale
+        logits = x_mid @ wsel + bsel              (when with_select)
+    Returns (x_mid, adapt, logits [B,N,1] fp32) or (x_mid, adapt).
+
+    adapter_scale is an array (shape ()/(1,)) so the learnable-scalar option
+    works unchanged.  Same applicability constraints as
+    attention_sublayer_serving; adapter must be the standard parallel
+    bottleneck (no in/out LN, no MoE).
+    """
+    B, N, C = x.shape
+    hd = C // heads
+    assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
+    ffn = wdown.shape[1]
+    scale = hd ** -0.5
+    dtype = wqkv.dtype
+    const = lambda b: (0, 0)
+    row = lambda b: (b, 0, 0)
+    out_shape = [jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                 jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                 jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), row, memory_space=pltpu.VMEM)]
+    flops = (2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
+             + 4 * B * N * C * ffn)
+    outs = pl.pallas_call(
+        functools.partial(_dyt_prologue_kernel, heads=heads, hd=hd,
+                          scale=scale, with_select=with_select),
+        out_shape=tuple(out_shape),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, ffn), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((ffn, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((N, 3 * C), dtype),
+                        pltpu.VMEM((N, C), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N,
+            bytes_accessed=3 * x.size * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32), wqkv,
+      bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
+      bproj.reshape(1, C).astype(jnp.float32),
+      wdown, bdown.reshape(1, ffn).astype(jnp.float32),
+      wup, bup.reshape(1, C).astype(jnp.float32),
+      jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
+      wsel.reshape(C, 1).astype(jnp.float32),
+      jnp.asarray(bsel, jnp.float32).reshape(1, 1))
+    x_mid, adapt, sel = outs
+    return (x_mid, adapt, sel) if with_select else (x_mid, adapt)
+
+
+def attention_sublayer_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, *,
+                                 heads: int):
+    """XLA composition the sublayer kernel replaces (for tests/fallback)."""
+    B, N, C = x.shape
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * gamma + beta).astype(wqkv.dtype)
+    qkv = (jnp.dot(ln, wqkv, preferred_element_type=jnp.float32)
+           + bqkv).astype(wqkv.dtype)
+    o = mha_fused_reference(qkv, heads=heads)
+    proj = jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+    return (xf + proj).astype(x.dtype)

@@ -123,7 +123,8 @@ class VideoRunner:
                                     crop=self.model_cfg.img_size,
                                     inception=self.cfg.data.inception_norm,
                                     train=True,
-                                    randaug=self.cfg.data.randaug)
+                                    randaug=self.cfg.data.randaug,
+                                    resize_type=self.cfg.data.train_resize_type)
             xb, yb = M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))
             self.state, parts = self.train_step(self.state, xb, yb)
             ml.update(**{k2: float(v) for k2, v in parts.items()})

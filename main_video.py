@@ -21,6 +21,10 @@ def get_args_parser():
     parser.add_argument("--sampling_rate", type=int, default=16)
     parser.add_argument("--test_num_segment", type=int, default=3)
     parser.add_argument("--test_num_crop", type=int, default=1)
+    parser.add_argument("--train_resize_type", type=str,
+                        default="random_resized_crop",
+                        choices=["random_resized_crop",
+                                 "random_short_side_scale_jitter"])
     return parser
 
 
@@ -42,7 +46,8 @@ def build_config(args):
                         # (reference video_datasets.py:58)
                         randaug=("rand-m7-n4-mstd0.5-inc1"
                                  if args.dataset in ("ssv2", "sthv2")
-                                 else None)))
+                                 else None),
+                        train_resize_type=args.train_resize_type))
 
 
 def main(args):

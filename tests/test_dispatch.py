@@ -14,9 +14,9 @@ from dynamic_tuning_tpu.ops.dispatch import (capacity_for, dispatch_mlp,
 
 
 def test_capacity_rounding():
-    assert capacity_for(196, 0.5) == 104          # ceil(98)+1 -> 104 (mult 8)
+    assert capacity_for(196, 0.5) == 99           # ceil(98)+1, exact
     assert capacity_for(196, 1.0) == 197          # clamped to T+1
-    assert capacity_for(16, 0.25) == 8            # ceil(4)+1=5 -> 8
+    assert capacity_for(16, 0.25) == 5            # ceil(4)+1
     assert capacity_for(196, 0.5, multiple=16) == 112
 
 

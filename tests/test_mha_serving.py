@@ -60,6 +60,82 @@ def test_attention_module_fused_path(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_sublayer_kernel_matches_composition():
+    """attention_sublayer_serving == LN -> qkv -> core -> proj -> +x."""
+    from dynamic_tuning_tpu.ops.mha_serving import (
+        attention_sublayer_reference, attention_sublayer_serving)
+
+    B, N, H, hd = 2, 23, 4, 64
+    C = H * hd
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    x = jax.random.normal(ks[0], (B, N, C), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (C,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[2], (C,), jnp.float32)
+    wqkv = jax.random.normal(ks[3], (C, 3 * C), jnp.float32) * 0.05
+    bqkv = jax.random.normal(ks[4], (3 * C,), jnp.float32) * 0.05
+    wproj = jax.random.normal(ks[5], (C, C), jnp.float32) * 0.05
+    bproj = jax.random.normal(ks[6], (C,), jnp.float32) * 0.05
+    want = attention_sublayer_reference(x, gamma, beta, wqkv, bqkv, wproj,
+                                        bproj, heads=H)
+    got = attention_sublayer_serving(x, gamma, beta, wqkv, bqkv, wproj,
+                                     bproj, heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_fused_sublayer_matches_unfused(monkeypatch):
+    """Block with DYT_FUSED_ATTN=interpret == the unfused Block, and the
+    param trees of both branches are identical (checkpoint compatibility)."""
+    from dynamic_tuning_tpu.config import SelectConfig, TuningConfig
+    from dynamic_tuning_tpu.models.layers import Block
+
+    blk = Block(num_heads=2, tuning=TuningConfig(ffn_num=8, d_model=128),
+                select_cfg=SelectConfig(), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 128), jnp.float32)
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "0")
+    params = blk.init(jax.random.PRNGKey(1), x)["params"]
+    want, want_gate, _ = blk.apply({"params": params}, x)
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    params_fused = blk.init(jax.random.PRNGKey(1), x)["params"]
+    assert (jax.tree_util.tree_structure(params_fused)
+            == jax.tree_util.tree_structure(params))
+    got, got_gate, _ = blk.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(got_gate), np.asarray(want_gate))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["teacher", "dispatch", "no_adapter"])
+def test_block_prologue_modes_match_unfused(monkeypatch, mode):
+    """The DyT prologue kernel (adapter + router fused) reproduces the
+    unfused Block in teacher, dispatch, and adapter-less modes."""
+    from dynamic_tuning_tpu.config import SelectConfig, TuningConfig
+    from dynamic_tuning_tpu.models.layers import Block
+
+    tuning = TuningConfig(ffn_num=8, d_model=128,
+                          ffn_adapt=mode != "no_adapter")
+    blk = Block(num_heads=2, tuning=tuning,
+                select_cfg=SelectConfig(token_target_ratio=0.5),
+                dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 19, 128), jnp.float32)
+    kwargs = (dict(complete_model=True) if mode == "teacher"
+              else dict(dispatch=True) if mode == "dispatch" else {})
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "0")
+    params = blk.init(jax.random.PRNGKey(3), x)["params"]
+    want, want_gate, _ = blk.apply({"params": params}, x, **kwargs)
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    got, got_gate, _ = blk.apply({"params": params}, x, **kwargs)
+    if want_gate is not None:
+        np.testing.assert_allclose(np.asarray(got_gate),
+                                   np.asarray(want_gate), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_qkv_packing_order():
     """The kernel's lane banding must match reshape(B,N,3,H,hd) packing."""
     B, N, H, hd = 1, 7, 2, 64

@@ -108,3 +108,89 @@ def test_augment_clip_batch_shapes():
     ev = augment_clip_batch(jax.random.PRNGKey(0), clips, crop=32,
                             min_size=40, max_size=56, train=False)
     assert ev.shape == (2, 4, 32, 32, 3)
+
+
+def test_clip_random_resized_crop_box_stats():
+    """One RRC box per clip (reference transform.py:546-585): output shape,
+    temporal consistency, and area-fraction distribution within scale range."""
+    from dynamic_tuning_tpu.data.video_transforms import clip_random_resized_crop
+
+    clip = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (3, 48, 64, 3), np.uint8))
+    out = clip_random_resized_crop(jax.random.PRNGKey(0), clip, crop=32)
+    assert out.shape == (3, 32, 32, 3)
+    # tight scale -> near-full-frame crop reproduces a plain resize
+    full = clip_random_resized_crop(jax.random.PRNGKey(1), clip, crop=32,
+                                    scale=(0.9999, 1.0), ratio=(0.9999, 1.0))
+    ref = jax.image.resize(clip.astype(jnp.float32), (3, 32, 32, 3),
+                           "bilinear")
+    # same box applied to every frame
+    same = jnp.asarray(np.tile(clip[:1], (3, 1, 1, 1)))
+    o = clip_random_resized_crop(jax.random.PRNGKey(2), same, crop=32)
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(o[2]), atol=1e-4)
+
+
+def test_clip_color_jitter_semantics():
+    """brightness alpha scales pixels; saturation alpha=1-limit pulls toward
+    Rec.601 luma; zero strengths = identity (reference transform.py:321-412)."""
+    from dynamic_tuning_tpu.data.video_transforms import (clip_color_jitter,
+                                                          _grayscale)
+
+    clip = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 3) * 255,
+                       jnp.float32)
+    out = clip_color_jitter(jax.random.PRNGKey(0), clip)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(clip), atol=1e-5)
+
+    # brightness-only: out = alpha * clip for some alpha in [0.6, 1.4]
+    out = clip_color_jitter(jax.random.PRNGKey(1), clip, brightness=0.4)
+    alpha = np.asarray(out).ravel()[0] / np.asarray(clip).ravel()[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(clip) * alpha,
+                               rtol=1e-4)
+    assert 0.6 <= alpha <= 1.4
+
+    # saturation: a grayscale clip is a fixed point
+    gray = _grayscale(clip)
+    out = clip_color_jitter(jax.random.PRNGKey(2), gray, saturation=0.4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gray), rtol=1e-3,
+                               atol=1e-2)
+
+    # distribution: brightness alphas spread over the range
+    alphas = []
+    for i in range(64):
+        o = clip_color_jitter(jax.random.PRNGKey(i), clip, brightness=0.4)
+        alphas.append(float(np.asarray(o).ravel()[0]
+                            / np.asarray(clip).ravel()[0]))
+    assert min(alphas) < 0.75 and max(alphas) > 1.25
+
+
+def test_clip_lighting_jitter_pca():
+    """Lighting noise adds a per-clip constant RGB shift along PCA directions
+    (reference transform.py:413-460); alphastd=0 is identity."""
+    from dynamic_tuning_tpu.data.video_transforms import clip_lighting_jitter
+
+    eigval = [0.2175, 0.0188, 0.0045]
+    eigvec = [[-0.5675, 0.7192, 0.4009],
+              [-0.5808, -0.0045, -0.8140],
+              [-0.5836, -0.6948, 0.4203]]
+    clip = jnp.asarray(np.random.RandomState(2).rand(2, 6, 6, 3), jnp.float32)
+    out = clip_lighting_jitter(jax.random.PRNGKey(0), clip, alphastd=0,
+                               eigval=eigval, eigvec=eigvec)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(clip))
+    out = clip_lighting_jitter(jax.random.PRNGKey(0), clip, alphastd=0.1,
+                               eigval=eigval, eigvec=eigvec)
+    shift = np.asarray(out - clip)
+    # constant per channel across all pixels/frames
+    for c in range(3):
+        assert np.ptp(shift[..., c]) < 1e-6
+    assert np.abs(shift).max() > 0
+
+
+def test_augment_clip_batch_resize_types():
+    from dynamic_tuning_tpu.data.video_transforms import augment_clip_batch
+
+    clips = jnp.asarray(np.random.randint(0, 256, (2, 4, 64, 64, 3), np.uint8))
+    for rt in ("random_resized_crop", "random_short_side_scale_jitter"):
+        out = augment_clip_batch(jax.random.PRNGKey(0), clips, crop=32,
+                                 min_size=40, max_size=56, train=True,
+                                 resize_type=rt)
+        assert out.shape == (2, 4, 32, 32, 3)
