@@ -9,8 +9,9 @@ video_datasets.py):
     views stacked and logits averaged (engine_finetune.py:302-305);
   * DummyDataset zeros generator for pipeline isolation (k400.py:323-339).
 
-TPU-native: decode goes through OpenCV (the lib available here; decord/PyAV
-hooks are gated), sampled frames are resized to a fixed canvas on host, and
+TPU-native: decode backend auto-selects decord -> PyAV -> OpenCV (the
+reference uses decord for K400 and PyAV for SSv2; override with
+DYT_VIDEO_BACKEND), sampled frames are resized to a fixed canvas on host, and
 all augmentation happens on device (data/video_transforms.py).
 """
 
@@ -28,6 +29,73 @@ def _have_cv2() -> bool:
         return True
     except ImportError:
         return False
+
+
+def decode_backend() -> str:
+    """Pick the frame-decode backend: decord (reference K400, k400.py:115),
+    PyAV (reference SSv2, sthv2_dataset.py:115), else OpenCV.  Override with
+    DYT_VIDEO_BACKEND=decord|av|cv2."""
+    forced = os.environ.get("DYT_VIDEO_BACKEND")
+    order = [forced] if forced else ["decord", "av", "cv2"]
+    for name in order:
+        try:
+            if name == "decord":
+                import decord  # noqa: F401
+            elif name == "av":
+                import av  # noqa: F401
+            elif name == "cv2":
+                import cv2  # noqa: F401
+            else:
+                continue
+            return name
+        except ImportError:
+            if forced:
+                raise
+    raise ImportError("no video decode backend (decord/av/cv2) available")
+
+
+def _read_frames_decord(path: str, want: List[int]):
+    """-> {index: RGB uint8 HxWx3}, full-resolution frames."""
+    import decord
+
+    vr = decord.VideoReader(path, num_threads=1)
+    batch = vr.get_batch(want).asnumpy()         # [n, H, W, 3] RGB
+    return {i: batch[j] for j, i in enumerate(want)}
+
+
+def _read_frames_av(path: str, want: List[int]):
+    import av
+
+    frames = {}
+    want_set = set(want)
+    with av.open(path) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i in want_set:
+                frames[i] = frame.to_rgb().to_ndarray()
+            if len(frames) == len(want_set) or i > max(want_set):
+                break
+    return frames
+
+
+def _read_frames_cv2(path: str, want: List[int]):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = {}
+    pos = -1
+    for i in want:
+        if i != pos + 1:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+        ok, frame = cap.read()
+        pos = i
+        if ok:
+            frames[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    cap.release()
+    return frames
+
+
+_READERS = {"decord": _read_frames_decord, "av": _read_frames_av,
+            "cv2": _read_frames_cv2}
 
 
 def sample_indices_random(num_frames: int, clip_len: int, rate: int,
@@ -85,8 +153,7 @@ class VideoDataset:
                  test_mode: bool = False, test_num_segment: int = 3,
                  test_num_crop: int = 1, num_classes: int = 400, seed: int = 0,
                  spatial_size: Optional[int] = None):
-        if not _have_cv2():
-            raise ImportError("video decode needs OpenCV (cv2)")
+        self.backend = decode_backend()
         self.root = root
         self.items: List[Tuple[str, int]] = []
         with open(listfile) as f:
@@ -115,24 +182,14 @@ class VideoDataset:
         return len(self.items)
 
     def _decode(self, path: str, indices: np.ndarray) -> np.ndarray:
-        import cv2
-
-        cap = cv2.VideoCapture(os.path.join(self.root, path))
-        frames = {}
         want = sorted(set(int(i) for i in indices))
-        pos = -1
+        raw = _READERS[self.backend](os.path.join(self.root, path), want)
+        frames = {}
         for i in want:
-            if i != pos + 1:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
-            ok, frame = cap.read()
-            pos = i
-            if not ok:
-                frame = np.zeros((self.canvas, self.canvas, 3), np.uint8)
+            if i in raw:
+                frames[i] = _resize_short_side(raw[i], self.canvas)
             else:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                frame = _resize_short_side(frame, self.canvas)
-            frames[i] = frame
-        cap.release()
+                frames[i] = np.zeros((self.canvas, self.canvas, 3), np.uint8)
         return np.stack([frames[int(i)] for i in indices])
 
     def _decode_aspect(self, path: str, indices: np.ndarray,
@@ -141,28 +198,20 @@ class VideoDataset:
         kept (no crop) — feeds the real spatial multi-crop eval."""
         import cv2
 
-        cap = cv2.VideoCapture(os.path.join(self.root, path))
-        frames = {}
         want = sorted(set(int(i) for i in indices))
-        pos = -1
+        raw = _READERS[self.backend](os.path.join(self.root, path), want)
+        frames = {}
         shape = None
         for i in want:
-            if i != pos + 1:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
-            ok, frame = cap.read()
-            pos = i
-            if ok:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = raw.get(i)
+            if frame is not None:
                 h, w = frame.shape[:2]
                 scale = short_side / min(h, w)
                 frame = cv2.resize(frame, (max(int(round(w * scale)), short_side),
                                            max(int(round(h * scale)), short_side)),
                                    interpolation=cv2.INTER_LINEAR)
                 shape = frame.shape
-            else:
-                frame = None
             frames[i] = frame
-        cap.release()
         if shape is None:
             shape = (short_side, short_side, 3)
         out = [frames[int(i)] if frames[int(i)] is not None
@@ -193,9 +242,22 @@ class VideoDataset:
         return outs
 
     def _num_frames(self, path: str) -> int:
+        full = os.path.join(self.root, path)
+        if self.backend == "decord":
+            import decord
+
+            return max(len(decord.VideoReader(full, num_threads=1)), 1)
+        if self.backend == "av":
+            import av
+
+            with av.open(full) as c:
+                n = c.streams.video[0].frames
+                if not n:  # container without frame metadata: count packets
+                    n = sum(1 for _ in c.demux(video=0))
+            return max(n, 1)
         import cv2
 
-        cap = cv2.VideoCapture(os.path.join(self.root, path))
+        cap = cv2.VideoCapture(full)
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
         return max(n, 1)

@@ -67,7 +67,7 @@ def _attention(x: jax.Array, p: Dict, num_heads: int) -> jax.Array:
     hd = C // num_heads
     qkv = _ln_dense_folded(x, p["norm1"], p["attn"]["qkv"])
     # one explicit [3,B,H,N,D] transpose + batched dot_generals beats the
-    # einsum lowering by ~27% (scripts/profile_attn2.py)
+    # einsum lowering by ~27% (BENCH.md attention notes)
     qkv = qkv.astype(BF16).reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]                       # [B,H,N,D]
     # fp32 scores+softmax cost the same as bf16 in this layout

@@ -140,7 +140,7 @@ class Attention(nn.Module):
     deterministic/serving path uses the fused Pallas kernel
     (ops/mha_serving.py) which consumes the raw [B,N,3C] qkv buffer and emits
     [B,N,C] directly — the XLA relayouts around the core cost more than the
-    attention math itself (scripts/profile_mha_redo.py: 1.12 ms -> 0.67 ms
+    attention math itself (scripts/profile_attention.py: 1.12 ms -> 0.67 ms
     per ViT-B block at batch 128).
 
     ``window_size=(h, w)`` adds a learnable BEiT-style relative-position bias
@@ -192,7 +192,7 @@ class Attention(nn.Module):
             return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         # explicit [3,B,H,N,D] layout + batched dot_general: ~27% faster than
-        # the einsum lowering on TPU (scripts/profile_attn2.py), numerically
+        # the einsum lowering on TPU (BENCH.md attention notes), numerically
         # identical
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim
                           ).transpose(2, 0, 3, 1, 4)

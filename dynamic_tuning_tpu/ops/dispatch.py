@@ -98,7 +98,7 @@ def onehot_dispatch_mlp(x: jax.Array, scores: jax.Array, capacity: int,
                         ) -> Tuple[jax.Array, jax.Array]:
     """MXU-native dispatch: gather AND scatter as one-hot matmuls.
 
-    Profiled on v5e (scripts/profile_attn5.py): memory-op gather/scatter costs
+    Profiled on v5e (BENCH.md dispatch notes): memory-op gather/scatter costs
     more than the skipped-MLP savings (1583us vs 1556us full), while the
     one-hot matmul form hits the contiguous-K floor (1062us vs 1043us) — the
     dispatch permutation rides the systolic array for free.

@@ -121,7 +121,7 @@ def _mha_fused_kernel(qkv_ref, o_ref, *, heads: int, hd: int, scale: float,
     The g x flop inflation is deliberate: per-matmul MXU issue overhead
     (~0.5 us) dominates at [197, 64]-sized operands, so fewer/bigger matmuls
     win even at g x the arithmetic (measured: group=2 -> 24 matmuls/sample
-    1.75 ms; see scripts/profile_mha_variants.py)."""
+    1.75 ms; see scripts/profile_attention.py)."""
     N = qkv_ref.shape[1]
     C = heads * hd
     G = group * hd                                      # lanes per group
@@ -157,7 +157,7 @@ def mha_serving_fused(qkv: jax.Array, *, heads: int, group: int = 2,
 
     Consumes the fused qkv projection output directly and emits the layout the
     output projection wants — no XLA transposes anywhere (they cost more than
-    the attention math itself: see scripts/profile_mha_fused.py).
+    the attention math itself: see scripts/profile_attention.py).
     ``group`` heads share each matmul pair (block-diag row stacking).
     Requires group | heads and (group*hd) % 128 == 0 for lane alignment.
     Deterministic path only (no dropout).  Numerics identical to

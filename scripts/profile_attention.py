@@ -1,4 +1,9 @@
-"""Redo the MHA serving comparisons with tunnel-RTT-free timing."""
+"""Serving-attention comparison: fused Pallas kernel vs the XLA
+transpose+core path it replaces, with tunnel-RTT-free timing (bench_util).
+
+Consolidates the round-1 profile_attn*.py series; the full narrative of what
+was tried and measured lives in BENCH.md.
+"""
 import os
 import sys
 

@@ -25,7 +25,7 @@ def get_args_parser():
     p.add_argument("--token_target_ratio", type=float, default=0.5)
     p.add_argument("--capacity_ratio", type=float, default=None)
     p.add_argument("--mode", default="dispatch",
-                   choices=["dispatch", "mask", "dense"])
+                   choices=["dispatch", "mask", "dense", "plain"])
     p.add_argument("--ckpt", default="", help="optional trained .msgpack/.pth")
     p.add_argument("--warmup", default=5, type=int)
     p.add_argument("--iters", default=15, type=int)
@@ -40,10 +40,17 @@ def get_args_parser():
 def main(args):
     sel = SelectConfig(token_target_ratio=args.token_target_ratio,
                        capacity_ratio=args.capacity_ratio)
+    if args.mode == "plain":
+        # the reference's dense baseline: the ORIGINAL ViT, no adapter/router
+        # (models/original_vision_transformerl_IN21K.py, speed.py:39)
+        sel = SelectConfig(open=False)
+        tuning = TuningConfig(ffn_adapt=False)
+    else:
+        tuning = TuningConfig(ffn_num=args.ffn_num)
     model = VisionTransformer(
         ModelConfig(num_classes=args.nb_classes, gelu_approx=args.gelu_approx,
                     residual_dtype=args.residual_dtype),
-        tuning=TuningConfig(ffn_num=args.ffn_num), select=sel,
+        tuning=tuning, select=sel,
         dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
 
     x = jax.random.normal(jax.random.PRNGKey(0),
@@ -57,23 +64,15 @@ def main(args):
 
     from dynamic_tuning_tpu.utils.profiling import scan_throughput
 
-    if args.compute_dtype == "bfloat16":
-        # hand-optimized inference forward (models/fast_inference.py)
-        from dynamic_tuning_tpu.models.fast_inference import fast_vit_forward
-
-        mcfg = model.cfg
-
-        def fwd(p, xx):
-            logits, _ = fast_vit_forward(p, xx, cfg=mcfg,
-                                         tuning=model.tuning, select=sel,
-                                         mode=args.mode, use_pallas=False)
-            return logits.sum()
-    else:
-        def fwd(p, xx):
-            logits, _ = model.apply({"params": p}, xx,
-                                    complete_model=(args.mode == "dense"),
-                                    dispatch=(args.mode == "dispatch"))
-            return logits.sum()
+    # the flax model path is the fastest for every mode since the fused
+    # Pallas serving kernels landed in Block (round 2); the hand-written
+    # fast_vit_forward in models/fast_inference.py remains as a validated
+    # pure-XLA alternative
+    def fwd(p, xx):
+        logits, _ = model.apply({"params": p}, xx,
+                                complete_model=(args.mode == "dense"),
+                                dispatch=(args.mode == "dispatch"))
+        return logits.sum()
 
     ips = scan_throughput(fwd, (params, x), batch=args.batch_size,
                           iters=args.iters)
