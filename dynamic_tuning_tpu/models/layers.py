@@ -177,16 +177,31 @@ class Attention(nn.Module):
 
         fused_mode = _fused_serving_mode()
         can_fuse = (deterministic and self.attn_drop == 0.0
-                    and self.window_size is None
                     and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
                     and fused_mode != "0"
                     and (fused_mode == "interpret"
                          or jax.default_backend() == "tpu"))
-        if can_fuse:
+        if can_fuse and self.window_size is None:
             from dynamic_tuning_tpu.ops.mha_serving import mha_serving_fused
 
             out = mha_serving_fused(qkv, heads=self.num_heads,
                                     interpret=fused_mode == "interpret")
+            out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_02,
+                           name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if (can_fuse and self.window_size is not None
+                and self.window_size[0] * self.window_size[1] + 1 == N):
+            # windowed (BEiT/seg) serving: bias-aware pair kernel; each
+            # pair's [2N, N] bias tile stays VMEM-resident across the batch
+            from dynamic_tuning_tpu.ops.mha_serving import mha_windowed_fused
+
+            idx, table_size = _relative_position_index(*self.window_size)
+            table = self.param("relative_position_bias_table",
+                               nn.initializers.zeros_init(),
+                               (table_size, self.num_heads), jnp.float32)
+            bias = table[jnp.asarray(idx)].transpose(2, 0, 1)   # [H, N, N]
+            out = mha_windowed_fused(qkv, bias, heads=self.num_heads,
+                                     interpret=fused_mode == "interpret")
             out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_02,
                            name="proj")(out)
             return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

@@ -199,7 +199,85 @@ def mha_fused_reference(qkv: jax.Array, *, heads: int) -> jax.Array:
     return o.transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
-# --- whole-sublayer kernel ----------------------------------------------------
+# --- windowed (BEiT/seg) kernel -----------------------------------------------
+#
+# The segmentation backbone's attention adds a learned relative-position bias
+# to the scores (models/seg_vit.py; reference dense_tasks/.../segmentation_
+# vision_transformer_IN21K.py:150-195).  At 512^2 inputs N=1025, so the XLA
+# path materializes a 50 MB fp32 score tensor per (sample, block) twice.
+# This kernel keeps the per-pair score tile in VMEM; the grid is
+# (head_pair, batch) with the bias tile's index map independent of batch, so
+# Mosaic's revolving buffers keep each pair's bias resident across the whole
+# batch — the bias is DMA'd once per pair, not once per sample.
+
+
+def _mha_windowed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hd: int,
+                         scale: float):
+    N = q_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
+    left = lane < hd
+    qp = q_ref[0]
+    kp = k_ref[0]
+    vp = v_ref[0]
+    qp = (qp.astype(jnp.float32) * scale).astype(qp.dtype)
+    q0 = jnp.where(left, qp, jnp.zeros_like(qp))
+    lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2N, 128]
+    s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0]                                   # [2N, N]
+    e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    o_all = o_all * (1.0 / l)
+    out = (jnp.where(left, o_all[0:N], 0.0)
+           + jnp.where(left, 0.0, o_all[N:2 * N]))
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def mha_windowed_fused(qkv: jax.Array, bias: jax.Array, *, heads: int,
+                       interpret: bool = False) -> jax.Array:
+    """Serving attention with additive score bias: [B,N,3C] + [H,N,N] ->
+    [B,N,C].  Same head-pair tiling and clamped no-max softmax as
+    ``mha_serving_fused``.  The q/k/v pair slices are delivered through
+    BlockSpec lane-block index maps (the same qkv array passed three times);
+    the bias pair tile's index map ignores batch, so with batch as the inner
+    grid dimension each pair's 2N x N bias is DMA'd once, not once per
+    sample."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
+    P = heads // 2
+    scale = hd ** -0.5
+    bias_pairs = bias.astype(jnp.float32).reshape(P, 2 * N, N)
+    flops = 2 * 2 * B * heads * N * N * 2 * hd
+    pair_block = lambda off: pl.BlockSpec(
+        (1, N, 2 * hd), lambda p, b, off=off: (b, 0, off + p),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mha_windowed_kernel, hd=hd, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(P, B),
+        in_specs=[
+            pair_block(0),                    # q pair lanes
+            pair_block(P),                    # k pair lanes
+            pair_block(2 * P),                # v pair lanes
+            pl.BlockSpec((1, 2 * N, N), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 2 * hd), lambda p, b: (b, 0, p),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N,
+            bytes_accessed=(qkv.size + B * N * C) * qkv.dtype.itemsize
+            + bias_pairs.size * 4),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias_pairs)
 #
 # One further fusion level: the ENTIRE pre-norm attention sublayer
 #     out = x + proj(attn_core(qkv(LN(x))))

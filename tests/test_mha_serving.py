@@ -60,6 +60,58 @@ def test_attention_module_fused_path(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_windowed_kernel_matches_biased_softmax():
+    """mha_windowed_fused == scores + bias -> clamped softmax -> AV."""
+    from dynamic_tuning_tpu.ops.mha_serving import mha_windowed_fused
+
+    B, N, H, hd = 2, 10, 4, 64
+    C = H * hd
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    qkv = jax.random.normal(k1, (B, N, 3 * C), jnp.float32)
+    bias = jax.random.normal(k2, (H, N, N), jnp.float32)
+
+    q, k, v = jnp.moveaxis(
+        qkv.reshape(B, N, 3, H, hd), 2, 0).transpose(0, 1, 3, 2, 4)
+    s = jax.lax.dot_general(q * hd ** -0.5, k,
+                            (((3,), (3,)), ((0, 1), (0, 1))),
+                            preferred_element_type=jnp.float32) + bias[None]
+    p = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
+    o = jax.lax.dot_general(p, v, (((3,), (2,)), ((0, 1), (0, 1))))
+    want = (o / p.sum(-1, keepdims=True)).transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    got = mha_windowed_fused(qkv, bias, heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attention_windowed_fused_matches_unfused(monkeypatch):
+    """Windowed Attention (seg/BEiT) through the bias-aware kernel == the XLA
+    branch, with identical param trees."""
+    from dynamic_tuning_tpu.models.layers import Attention
+
+    wh = ww = 3
+    N = wh * ww + 1
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, N, 256), jnp.float32)
+    attn = Attention(num_heads=2, window_size=(wh, ww), qv_bias_only=True,
+                     dtype=jnp.float32)
+    monkeypatch.setenv("DYT_FUSED_ATTN", "0")
+    params = attn.init(jax.random.PRNGKey(8), x, deterministic=True)
+    # give the zero-init bias table real values so the bias path is exercised
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    tbl = params["params"]["relative_position_bias_table"]
+    params["params"]["relative_position_bias_table"] = (
+        0.5 * jax.random.normal(jax.random.PRNGKey(9), tbl.shape))
+    want = attn.apply(params, x, deterministic=True)
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    params_fused = attn.init(jax.random.PRNGKey(8), x, deterministic=True)
+    assert (jax.tree_util.tree_structure(params_fused)
+            == jax.tree_util.tree_structure(params))
+    got = attn.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sublayer_kernel_matches_composition():
     """attention_sublayer_serving == LN -> qkv -> core -> proj -> +x."""
     from dynamic_tuning_tpu.ops.mha_serving import (
