@@ -150,6 +150,71 @@ def _mha_fused_kernel(qkv_ref, o_ref, *, heads: int, hd: int, scale: float,
         o_ref[0, :, G * i: G * (i + 1)] = out.astype(o_ref.dtype)
 
 
+# --- SPMD batch partitioning --------------------------------------------------
+#
+# pallas_call does not auto-partition under pjit: with a batch-sharded input
+# XLA inserts all-gathers and replicates the kernel on every device (measured:
+# 9 all-gathers and fully-replicated outputs on an 8-way data mesh).  Every
+# kernel here is embarrassingly parallel over dim 0 of its first argument, so
+# each entry point routes through jax.experimental.custom_partitioning: the
+# kernel runs on the local batch shard, weights/bias stay replicated, and the
+# outputs inherit the input's batch sharding — no collectives at all.
+
+
+def _batch_partitioned(impl, arg_ndims, out_ndims):
+    """Wrap impl(*arrays): arg0 + all outputs batch-major (sharded on dim 0,
+    shared factor "b"), every other dimension an independent factor (weights
+    arrive replicated from the runners and stay so).
+
+    Uses a Shardy einsum-like sharding rule plus a partition fn that runs the
+    kernel on the local batch shard — without this, pallas_call under pjit
+    forces all-gathers and replicated compute."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cp = custom_partitioning(impl)
+
+    fresh = iter(f"f{i}" for i in range(200))
+    ops = []
+    for i, nd in enumerate(arg_ndims):
+        dims = (["b"] if i == 0 else [next(fresh)])
+        dims += [next(fresh) for _ in range(nd - 1)]
+        ops.append(" ".join(dims))
+    outs = []
+    for nd in out_ndims:
+        outs.append(" ".join(["b"] + [next(fresh) for _ in range(nd - 1)]))
+    rule = ", ".join(ops) + " -> " + ", ".join(outs)
+
+    def _bspec(arg_infos):
+        sh = getattr(arg_infos[0], "sharding", None)
+        spec = getattr(sh, "spec", None)
+        if not spec or len(spec) == 0:
+            return None
+        return spec[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        b = _bspec(arg_infos)
+        args = [NamedSharding(mesh, P(b, *([None] * (len(arg_infos[0].shape)
+                                                     - 1))))]
+        for a in arg_infos[1:]:
+            args.append(NamedSharding(mesh, P(*([None] * len(a.shape)))))
+        single = not isinstance(result_infos, (list, tuple))
+        rs = [result_infos] if single else list(result_infos)
+        outs = [NamedSharding(mesh, P(b, *([None] * (len(r.shape) - 1))))
+                for r in rs]
+        return mesh, impl, (outs[0] if single else tuple(outs)), tuple(args)
+
+    cp.def_partition(partition=partition, sharding_rule=rule)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_partitioned(heads: int, group: int, interpret: bool):
+    return _batch_partitioned(
+        lambda qkv: _mha_serving_fused_impl(qkv, heads, group, interpret),
+        arg_ndims=(3,), out_ndims=(3,))
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "group", "interpret"))
 def mha_serving_fused(qkv: jax.Array, *, heads: int, group: int = 2,
                       interpret: bool = False) -> jax.Array:
@@ -161,8 +226,12 @@ def mha_serving_fused(qkv: jax.Array, *, heads: int, group: int = 2,
     ``group`` heads share each matmul pair (block-diag row stacking).
     Requires group | heads and (group*hd) % 128 == 0 for lane alignment.
     Deterministic path only (no dropout).  Numerics identical to
-    ``mha_serving_reference``.
+    ``mha_serving_reference``.  SPMD-partitions along the batch sharding.
     """
+    return _fused_partitioned(heads, group, interpret)(qkv)
+
+
+def _mha_serving_fused_impl(qkv, heads, group, interpret):
     B, N, C3 = qkv.shape
     C = C3 // 3
     hd = C // heads
@@ -236,6 +305,13 @@ def _mha_windowed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hd: int,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_partitioned(heads: int, interpret: bool):
+    return _batch_partitioned(
+        lambda qkv, bias: _mha_windowed_impl(qkv, bias, heads, interpret),
+        arg_ndims=(3, 3), out_ndims=(3,))
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def mha_windowed_fused(qkv: jax.Array, bias: jax.Array, *, heads: int,
                        interpret: bool = False) -> jax.Array:
@@ -245,7 +321,11 @@ def mha_windowed_fused(qkv: jax.Array, bias: jax.Array, *, heads: int,
     BlockSpec lane-block index maps (the same qkv array passed three times);
     the bias pair tile's index map ignores batch, so with batch as the inner
     grid dimension each pair's 2N x N bias is DMA'd once, not once per
-    sample."""
+    sample.  SPMD-partitions along the batch sharding (bias replicated)."""
+    return _windowed_partitioned(heads, interpret)(qkv, bias)
+
+
+def _mha_windowed_impl(qkv, bias, heads, interpret):
     B, N, C3 = qkv.shape
     C = C3 // 3
     hd = C // heads
@@ -331,6 +411,14 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     o_ref[0] = (xf + proj + bproj_ref[0]).astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _sublayer_partitioned(heads: int, interpret: bool):
+    return _batch_partitioned(
+        lambda *a: _attention_sublayer_impl(*a, heads=heads,
+                                            interpret=interpret),
+        arg_ndims=(3, 2, 2, 2, 2, 2, 2), out_ndims=(3,))
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def attention_sublayer_serving(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                                wqkv: jax.Array, bqkv: jax.Array,
@@ -343,7 +431,18 @@ def attention_sublayer_serving(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     dtype; biases fp32 [3C]/[C] (bqkv must include the BEiT q/v bias when
     qv_bias_only — the k slot zero).  Same restrictions as mha_serving_fused:
     heads even, (2*head_dim) % 128 == 0, no attention bias, no dropout.
+    SPMD-partitions along the batch sharding (weights replicated).
     """
+    C = x.shape[-1]
+    return _sublayer_partitioned(heads, interpret)(
+        x, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32), wqkv,
+        bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
+        bproj.reshape(1, C).astype(jnp.float32))
+
+
+def _attention_sublayer_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, *,
+                             heads, interpret):
     B, N, C = x.shape
     hd = C // heads
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
@@ -374,10 +473,7 @@ def attention_sublayer_serving(x: jax.Array, gamma: jax.Array, beta: jax.Array,
             flops=flops, transcendentals=B * heads * N * N,
             bytes_accessed=2 * x.size * x.dtype.itemsize),
         interpret=interpret,
-    )(x, gamma.reshape(1, C).astype(jnp.float32),
-      beta.reshape(1, C).astype(jnp.float32), wqkv,
-      bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
-      bproj.reshape(1, C).astype(jnp.float32))
+    )(x, gamma, beta, wqkv, bqkv, wproj, bproj)
 
 
 # --- DyT block prologue: sublayer + adapter + router head ---------------------
@@ -452,6 +548,15 @@ def _dyt_prologue_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         sel_ref[0] = logits + bsel_ref[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _prologue_partitioned(heads: int, with_select: bool, interpret: bool):
+    return _batch_partitioned(
+        lambda *a: _dyt_prologue_impl(*a, heads=heads,
+                                      with_select=with_select,
+                                      interpret=interpret),
+        arg_ndims=(3,) + (2,) * 13, out_ndims=(3, 3, 3))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("heads", "with_select", "interpret"))
 def dyt_prologue_serving(x, gamma, beta, wqkv, bqkv, wproj, bproj,
@@ -467,8 +572,28 @@ def dyt_prologue_serving(x, gamma, beta, wqkv, bqkv, wproj, bproj,
     adapter_scale is an array (shape ()/(1,)) so the learnable-scalar option
     works unchanged.  Same applicability constraints as
     attention_sublayer_serving; adapter must be the standard parallel
-    bottleneck (no in/out LN, no MoE).
+    bottleneck (no in/out LN, no MoE).  SPMD-partitions along the batch
+    sharding (weights replicated).
     """
+    C = x.shape[-1]
+    ffn = wdown.shape[1]
+    outs = _prologue_partitioned(heads, with_select, interpret)(
+        x, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32), wqkv,
+        bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
+        bproj.reshape(1, C).astype(jnp.float32),
+        wdown, bdown.reshape(1, ffn).astype(jnp.float32),
+        wup, bup.reshape(1, C).astype(jnp.float32),
+        jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
+        wsel.reshape(C, 1).astype(jnp.float32),
+        jnp.asarray(bsel, jnp.float32).reshape(1, 1))
+    x_mid, adapt, sel = outs
+    return (x_mid, adapt, sel) if with_select else (x_mid, adapt)
+
+
+def _dyt_prologue_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                       wdown, bdown, wup, bup, adapter_scale, wsel, bsel,
+                       *, heads, with_select, interpret):
     B, N, C = x.shape
     hd = C // heads
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
@@ -485,7 +610,7 @@ def dyt_prologue_serving(x, gamma, beta, wqkv, bqkv, wproj, bproj,
                  pl.BlockSpec((1, N, 1), row, memory_space=pltpu.VMEM)]
     flops = (2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
              + 4 * B * N * C * ffn)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_dyt_prologue_kernel, heads=heads, hd=hd,
                           scale=scale, with_select=with_select),
         out_shape=tuple(out_shape),
@@ -513,17 +638,8 @@ def dyt_prologue_serving(x, gamma, beta, wqkv, bqkv, wproj, bproj,
             flops=flops, transcendentals=B * heads * N * N,
             bytes_accessed=3 * x.size * x.dtype.itemsize),
         interpret=interpret,
-    )(x, gamma.reshape(1, C).astype(jnp.float32),
-      beta.reshape(1, C).astype(jnp.float32), wqkv,
-      bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
-      bproj.reshape(1, C).astype(jnp.float32),
-      wdown, bdown.reshape(1, ffn).astype(jnp.float32),
-      wup, bup.reshape(1, C).astype(jnp.float32),
-      jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
-      wsel.reshape(C, 1).astype(jnp.float32),
-      jnp.asarray(bsel, jnp.float32).reshape(1, 1))
-    x_mid, adapt, sel = outs
-    return (x_mid, adapt, sel) if with_select else (x_mid, adapt)
+    )(x, gamma, beta, wqkv, bqkv, wproj, bproj, wdown, bdown, wup, bup,
+      adapter_scale, wsel, bsel)
 
 
 def attention_sublayer_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, *,

@@ -188,6 +188,32 @@ def test_block_prologue_modes_match_unfused(monkeypatch, mode):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_kernels_partition_over_data_mesh(monkeypatch):
+    """The serving kernels SPMD-partition along the batch sharding: no
+    all-gathers are introduced and outputs stay batch-sharded (pallas_call
+    alone would force replication under pjit)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from dynamic_tuning_tpu.ops.mha_serving import mha_serving_fused
+
+    devs = np.array(jax.devices())
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devs, ("data",))
+    qkv = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(0), (16, 17, 384), jnp.float32),
+        NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda q: mha_serving_fused(q, heads=2, interpret=True))
+    out = f(qkv)
+    assert out.sharding.spec == P("data")
+    txt = f.lower(qkv).compile().as_text()
+    assert txt.count("all-gather") == 0
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(mha_serving_fused(np.asarray(qkv), heads=2,
+                                     interpret=True)),
+        rtol=2e-5, atol=2e-5)
+
+
 def test_qkv_packing_order():
     """The kernel's lane banding must match reshape(B,N,3,H,hd) packing."""
     B, N, H, hd = 1, 7, 2, 64
