@@ -240,6 +240,57 @@ def wait_for_async_saves():
     if _ASYNC_SAVER is not None:
         _ASYNC_SAVER.join()
         _ASYNC_SAVER = None
+    for mgr in _ORBAX_MANAGERS.values():
+        mgr.wait_until_finished()
+
+
+# --- orbax backend (pod-scale sharded async checkpointing) --------------------
+#
+# The msgpack path gathers everything to host rank 0 — right for the
+# reference's single-host save_on_master contract (misc.py:212-214) and for
+# portability.  The orbax backend writes each host's addressable shards
+# directly with async IO, which is the TPU-native choice for multi-pod runs
+# (ROADMAP "remote/multi-pod checkpointing via orbax with async save").
+
+_ORBAX_MANAGERS: Dict[str, object] = {}
+
+
+def _orbax_manager(output_dir: str, max_to_keep: Optional[int]):
+    import orbax.checkpoint as ocp
+
+    key = os.path.abspath(output_dir)
+    if key not in _ORBAX_MANAGERS:
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, enable_async_checkpointing=True)
+        _ORBAX_MANAGERS[key] = ocp.CheckpointManager(key, options=options)
+    return _ORBAX_MANAGERS[key]
+
+
+def save_checkpoint_orbax(output_dir: str, state, epoch: int, *,
+                          extra: Optional[dict] = None,
+                          auto_remove: bool = False) -> str:
+    """Async sharded save via orbax: every process participates (each host
+    writes its addressable shards); returns after IO is dispatched."""
+    mgr = _orbax_manager(output_dir, 1 if auto_remove else None)
+    import orbax.checkpoint as ocp
+
+    mgr.save(epoch, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(state),
+        extra=ocp.args.JsonSave({k: float(v) for k, v
+                                 in (extra or {}).items()})))
+    return os.path.join(os.path.abspath(output_dir), str(epoch))
+
+
+def load_checkpoint_orbax(output_dir: str, state, step: Optional[int] = None):
+    """Restore the latest (or given) orbax step into ``state``'s structure."""
+    mgr = _orbax_manager(output_dir, None)
+    import orbax.checkpoint as ocp
+
+    step = mgr.latest_step() if step is None else step
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore(state),
+        extra=ocp.args.JsonRestore()))
+    return restored["state"], int(step), dict(restored["extra"] or {})
 
 
 def load_checkpoint(path: str, state):

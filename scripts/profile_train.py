@@ -35,8 +35,11 @@ def main():
     step = jax.jit(make_train_step(model_apply_fn(model), tx, sel),
                    donate_argnums=(0,))
 
-    state, parts = step(state, x, y)
-    jax.block_until_ready(parts["loss"])
+    # two warm steps: the first donated-buffer dispatch triggers a second
+    # (slow, remote) compile on the tunneled chip
+    for _ in range(2):
+        state, parts = step(state, x, y)
+        jax.block_until_ready(parts["loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, parts = step(state, x, y)

@@ -163,3 +163,38 @@ def test_async_save_roundtrip(tmp_path):
     for k in state.trainable:
         np.testing.assert_array_equal(np.asarray(state.trainable[k]),
                                       np.asarray(state2.trainable[k]))
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Orbax backend: async sharded save -> restore reproduces the TrainState
+    (ROADMAP pod-scale checkpointing; complements the msgpack path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from dynamic_tuning_tpu.train import checkpoint as C
+    from dynamic_tuning_tpu.train.engine import create_train_state
+
+    tr = {("a", "w"): jnp.arange(6.0).reshape(2, 3)}
+    fr = {("b", "w"): jnp.ones((4,), jnp.float32) * 2}
+    tx = optax.adamw(1e-3)
+    state = create_train_state(tr, fr, tx, jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+
+    out = str(tmp_path / "orbax")
+    C.save_checkpoint_orbax(out, state, epoch=3, extra={"metric": 0.5})
+    C.wait_for_async_saves()
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, epoch, extra = C.load_checkpoint_orbax(out, zero)
+    assert epoch == 3 and abs(extra["metric"] - 0.5) < 1e-6
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.trainable[("a", "w")]),
+                                  np.asarray(tr[("a", "w")]))
+    np.testing.assert_array_equal(np.asarray(restored.frozen[("b", "w")]),
+                                  np.asarray(fr[("b", "w")]))
+    # auto_remove keeps only the newest step
+    C.save_checkpoint_orbax(out, state, epoch=4)
+    C.wait_for_async_saves()
+    restored2, epoch2, _ = C.load_checkpoint_orbax(out, zero)
+    assert epoch2 == 4
