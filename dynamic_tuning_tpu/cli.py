@@ -34,6 +34,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--output_dir", default="./output_dir")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--resume", default="")
+    parser.add_argument("--ckpt_backend", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="orbax = async sharded multi-pod saves")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--eval_ckpt", type=str, default="")
     parser.add_argument("--num_workers", default=4, type=int)
@@ -97,4 +100,5 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                      eval_freq=args.eval_freq, save_freq=args.save_freq,
                      resume=args.resume, finetune=args.finetune,
                      accum_iter=args.accum_iter,
-                     compute_dtype=args.compute_dtype)
+                     compute_dtype=args.compute_dtype,
+                     ckpt_backend=args.ckpt_backend)

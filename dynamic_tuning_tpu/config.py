@@ -169,6 +169,9 @@ class RunConfig:
     # numerics: params fp32, matmul compute bf16 (the TPU analogue of the
     # reference's CUDA AMP autocast, engine_finetune.py:47)
     compute_dtype: str = "bfloat16"
+    # "msgpack" (single-file, rank-0 writes) or "orbax" (async sharded,
+    # every host writes its shards -- the multi-pod path)
+    ckpt_backend: str = "msgpack"
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -181,14 +181,19 @@ _ATEXIT_REGISTERED = False
 def save_checkpoint(output_dir: str, state, epoch: int, *,
                     tag: Optional[str] = None, extra: Optional[dict] = None,
                     auto_remove: bool = False, is_main: bool = True,
-                    blocking: bool = True) -> str:
+                    blocking: bool = True, backend: str = "msgpack") -> str:
     """Write {trainable, frozen, opt_state, step, epoch} as one msgpack blob.
 
     Mirrors misc.save_model (misc.py:296-311) incl. auto_remove pruning
     (misc.py:316-329).  Only the main process writes.  ``blocking=False``
     snapshots device arrays to host immediately and serializes + writes on a
     background thread (training continues during IO).
+    ``backend="orbax"`` switches to the async sharded orbax path (all
+    processes participate; is_main/blocking are handled by orbax itself).
     """
+    if backend == "orbax":
+        return save_checkpoint_orbax(output_dir, state, epoch, extra=extra,
+                                     auto_remove=auto_remove)
     if not is_main:
         return ""
     os.makedirs(output_dir, exist_ok=True)
@@ -295,7 +300,10 @@ def load_checkpoint_orbax(output_dir: str, state, step: Optional[int] = None):
 
 def load_checkpoint(path: str, state):
     """Restore a TrainState saved by save_checkpoint (reference
-    misc.load_model, misc.py:332-352: restores optimizer/epoch too)."""
+    misc.load_model, misc.py:332-352: restores optimizer/epoch too).
+    A directory path is treated as an orbax checkpoint root."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path, state)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     trainable = _flat(payload["trainable"])

@@ -233,7 +233,8 @@ class Runner:
                     C.save_checkpoint(cfg.output_dir, self.state, epoch,
                                       extra={"metric": stats["metric"]},
                                       auto_remove=True,
-                                      is_main=jax.process_index() == 0)
+                                      is_main=jax.process_index() == 0,
+                                      backend=cfg.ckpt_backend)
                 max_metric = max(max_metric, stats["metric"])
                 self.logger.info(f"Max metric: {max_metric:.2f}%")
         if cfg.output_dir and jax.process_index() == 0:

@@ -222,7 +222,8 @@ class SegRunner:
                         C.save_checkpoint(cfg.output_dir, self.state, it,
                                           extra={"miou": stats["metric"]},
                                           auto_remove=True,
-                                          is_main=jax.process_index() == 0)
+                                          is_main=jax.process_index() == 0,
+                                          backend=cfg.ckpt_backend)
                     max_miou = max(max_miou, stats["metric"])
                 if it >= self.total_iters:
                     break

@@ -200,7 +200,8 @@ class VideoRunner:
                     C.save_checkpoint(cfg.output_dir, self.state, epoch,
                                       extra={"metric": ev["metric"]},
                                       auto_remove=True,
-                                      is_main=jax.process_index() == 0)
+                                      is_main=jax.process_index() == 0,
+                                      backend=cfg.ckpt_backend)
                 max_metric = max(max_metric, ev["metric"])
         self.logger.info(f"video training done in {time.time() - t0:.0f}s; "
                          f"max metric {max_metric:.2f}")

@@ -84,3 +84,23 @@ def test_seg_runner_short(tmp_path):
                        slide_stride=48)
     out = runner.run()
     assert "max_miou" in out and out["max_miou"] >= 0
+
+
+def test_image_runner_orbax_backend(tmp_path):
+    """Runner with ckpt_backend=orbax: async sharded save + resume from the
+    checkpoint directory."""
+    from dynamic_tuning_tpu.train import checkpoint as C
+    from dynamic_tuning_tpu.train.runner import Runner
+
+    cfg = _base_cfg(tmp_path).replace(ckpt_backend="orbax")
+    r1 = Runner(cfg)
+    r1.run()
+    C.wait_for_async_saves()
+    ckpt_dir = str(tmp_path)
+    # orbax step dirs exist
+    assert any(p.name.isdigit() for p in tmp_path.iterdir())
+    cfg2 = cfg.replace(resume=ckpt_dir,
+                       optim=dataclasses.replace(cfg.optim, epochs=2))
+    r2 = Runner(cfg2)
+    assert r2.start_epoch == 1
+    assert int(r2.state.step) > 0
