@@ -69,6 +69,8 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="residual-stream dtype (bfloat16 = fast)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize blocks in backward (big batches)")
+    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+                        help="int8 = W8A8 serving matmuls (eval paths only)")
     return parser
 
 
@@ -92,7 +94,7 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                         drop_path_rate=args.drop_path,
                         gelu_approx=args.gelu_approx,
                         residual_dtype=args.residual_dtype,
-                        remat=args.remat)
+                        remat=args.remat, quant=args.quant)
     return RunConfig(model=model, tuning=tuning, select=select, optim=optim,
                      data=data, mesh=MeshConfig(model_parallel=args.model_parallel),
                      seed=args.seed, output_dir=args.output_dir,

@@ -82,6 +82,8 @@ class ModelConfig:
                                             # traffic (inference-safe)
     remat: bool = False                     # rematerialize blocks in backward
                                             # (jax.checkpoint) for big batches
+    quant: str = "none"                     # "int8" = W8A8 serving matmuls
+                                            # (MXU double-rate; eval only)
     # video settings
     num_frames: int = 1                     # >1 enables the video path
     tubelet_size: int = 1

@@ -479,6 +479,21 @@ class _SelectParams(nn.Module):
         return _KernelBias(self.dim, 1, trunc_normal_02, name="mlp_head")()
 
 
+class _MlpParams(nn.Module):
+    """fc1/fc2 params mirroring Mlp's tree (for the int8 serving kernel)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _KernelBias(self.dim, self.hidden, trunc_normal_02,
+                             name="fc1")()
+        w2, b2 = _KernelBias(self.hidden, self.dim, trunc_normal_02,
+                             name="fc2")()
+        return w1, b1, w2, b2
+
+
 class _AttnParams(nn.Module):
     """qkv + proj (+ BEiT q/v biases) mirroring Attention's param tree."""
 
@@ -527,6 +542,8 @@ class Block(nn.Module):
     gelu_approx: bool = False
     init_values: Optional[float] = None      # LayerScale (reference :78-85)
     qv_bias_only: bool = False               # BEiT-style attention biases
+    quant: str = "none"                      # "int8" W8A8 serving matmuls
+                                             # (ops/quant.py; eval only)
     tuning: TuningConfig = TuningConfig()
     select_cfg: SelectConfig = SelectConfig()
     dtype: Dtype = jnp.bfloat16
@@ -565,6 +582,9 @@ class Block(nn.Module):
         with_select = bool(self.select and not complete_model)
         gate, logits, adapt_x = None, None, None
         adapter_done = False
+        # int8 W8A8 serving (ops/quant.py) shares the fused kernels'
+        # applicability conditions; quantizes only the qkv/proj/MLP matmuls
+        use_q8 = self.quant == "int8" and fuse_sublayer
 
         if fuse_sublayer and plain_adapter:
             # DyT prologue kernel: attention sublayer + adapter + router head
@@ -580,12 +600,23 @@ class Block(nn.Module):
                 wsel, bsel = _SelectParams(dim, name="mlp_token_select")()
             else:
                 wsel, bsel = jnp.zeros((dim, 1), jnp.float32), jnp.zeros((1,))
-            outs = dyt_prologue_serving(
-                x, g, bta, wqkv.astype(self.dtype), bqkv,
-                wproj.astype(self.dtype), bproj,
-                wd.astype(self.dtype), bd, wu.astype(self.dtype), bu, ascale,
-                wsel, bsel, heads=self.num_heads, with_select=with_select,
-                interpret=fused_mode == "interpret")
+            if use_q8:
+                from dynamic_tuning_tpu.ops.quant import \
+                    dyt_prologue_serving_q8
+                outs = dyt_prologue_serving_q8(
+                    x, g, bta, wqkv, bqkv, wproj, bproj,
+                    wd.astype(self.dtype), bd, wu.astype(self.dtype), bu,
+                    ascale, wsel, bsel, heads=self.num_heads,
+                    with_select=with_select,
+                    interpret=fused_mode == "interpret")
+            else:
+                outs = dyt_prologue_serving(
+                    x, g, bta, wqkv.astype(self.dtype), bqkv,
+                    wproj.astype(self.dtype), bproj,
+                    wd.astype(self.dtype), bd, wu.astype(self.dtype), bu,
+                    ascale, wsel, bsel, heads=self.num_heads,
+                    with_select=with_select,
+                    interpret=fused_mode == "interpret")
             if with_select:
                 x, adapt_x, sel = outs
                 logits = sel[:, 1:, :]                  # strip CLS row
@@ -605,10 +636,18 @@ class Block(nn.Module):
             wqkv, bqkv, wproj, bproj = _AttnParams(
                 dim, self.qkv_bias, self.qv_bias_only, name="attn")()
             # x keeps its residual dtype; LN/accumulation are fp32 in-kernel
-            x = attention_sublayer_serving(
-                x, g, bta, wqkv.astype(self.dtype), bqkv,
-                wproj.astype(self.dtype), bproj, heads=self.num_heads,
-                interpret=fused_mode == "interpret")
+            if use_q8:
+                from dynamic_tuning_tpu.ops.quant import \
+                    attention_sublayer_serving_q8
+                x = attention_sublayer_serving_q8(
+                    x, g, bta, wqkv, bqkv, wproj, bproj,
+                    heads=self.num_heads,
+                    interpret=fused_mode == "interpret")
+            else:
+                x = attention_sublayer_serving(
+                    x, g, bta, wqkv.astype(self.dtype), bqkv,
+                    wproj.astype(self.dtype), bproj, heads=self.num_heads,
+                    interpret=fused_mode == "interpret")
         else:
             h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
             h = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
@@ -636,9 +675,26 @@ class Block(nn.Module):
             adapt_x = make_adapter(self.tuning, self.dtype)(
                 x.astype(self.dtype), deterministic=deterministic)
 
-        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
-        mlp = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
-                  gelu_approx=self.gelu_approx, dtype=self.dtype, name="mlp")
+        if use_q8:
+            # int8 LN+MLP kernel consumes raw params (same tree names as the
+            # norm2/mlp modules, which are not constructed on this path —
+            # flax reserves submodule names at construction time)
+            from dynamic_tuning_tpu.ops.quant import q8_ln_mlp
+            g2, bt2 = _LNParams(dim, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(dim, int(dim * self.mlp_ratio),
+                                        name="mlp")()
+            mlp_rows = lambda rows: self._layer_scale("ls2_gamma", q8_ln_mlp(
+                rows, g2, bt2, w1, b1, w2, b2, gelu_approx=self.gelu_approx,
+                interpret=fused_mode == "interpret"))
+        else:
+            norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                 name="norm2")
+            mlp = Mlp(int(dim * self.mlp_ratio), dim, self.proj_drop,
+                      gelu_approx=self.gelu_approx, dtype=self.dtype,
+                      name="mlp")
+            mlp_rows = lambda rows: self._layer_scale(
+                "ls2_gamma", mlp(norm2(rows).astype(self.dtype),
+                                 deterministic=True))
 
         if dispatch and gate is not None and not training:
             # Efficient-inference path: capacity-bounded dispatch with the
@@ -657,14 +713,16 @@ class Block(nn.Module):
                 [jnp.full((B, 1), jnp.inf, jnp.float32),
                  jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))], axis=1)
             mlp_x, eff_gate = onehot_dispatch_mlp(
-                x, scores, K,
-                lambda rows: self._layer_scale(
-                    "ls2_gamma", mlp(norm2(rows).astype(self.dtype),
-                                     deterministic=True)),
-                self.select_cfg.threshold)
+                x, scores, K, mlp_rows, self.select_cfg.threshold)
             # effective gate (what was actually computed), for accounting —
             # fp32 so downstream means/sums don't saturate in bf16
             gate = eff_gate[..., None].astype(jnp.float32)
+        elif use_q8:
+            # dense serving MLP on the int8 kernel (DropPath is identity on
+            # the deterministic path this branch requires)
+            mlp_x = mlp_rows(x)
+            if gate is not None and not complete_model:
+                mlp_x = gate.astype(mlp_x.dtype) * mlp_x
         else:
             mlp_x = mlp(norm2(x).astype(self.dtype), deterministic=deterministic)
             mlp_x = DropPath(self.drop_path, name="drop_path2")(

@@ -369,21 +369,20 @@ def _mha_windowed_impl(qkv, bias, heads, interpret):
 # (reference vision_transformer_IN21K.py:144-150).
 
 
-def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
-                          wproj_ref, bproj_ref, o_ref, qkv_s, out_s,
-                          *, heads: int, hd: int, scale: float):
-    N, C = x_ref.shape[1], x_ref.shape[2]
-    x = x_ref[0]
-    xf = x.astype(jnp.float32)
+def layernorm_f32(xf, gamma, beta):
+    """In-kernel LN on a fp32 [N, C] tile (eps matches nn.LayerNorm 1e-6)."""
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    ln = xc * jax.lax.rsqrt(var + 1e-6) * g_ref[0] + b_ref[0]   # fp32 [N, C]
-    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+    return xc * jax.lax.rsqrt(var + 1e-6) * gamma + beta
 
+
+def attn_core_pairs(qkv_s, out_s, *, heads: int, hd: int, scale: float):
+    """The head-pair attention core on a VMEM qkv scratch [N, 3C]; writes
+    [N, C] to ``out_s``.  Shared by every fused sublayer kernel (bf16 and
+    int8 variants)."""
+    N = qkv_s.shape[0]
+    C = heads * hd
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
     left = lane < hd
     for p in range(heads // 2):
@@ -404,6 +403,20 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         out = (jnp.where(left, o_all[0:N], 0.0)
                + jnp.where(left, 0.0, o_all[N:2 * N]))
         out_s[:, 2 * hd * p: 2 * hd * (p + 1)] = out.astype(out_s.dtype)
+
+
+def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, o_ref, qkv_s, out_s,
+                          *, heads: int, hd: int, scale: float):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    ln = layernorm_f32(xf, g_ref[0], b_ref[0])                  # fp32 [N, C]
+    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
 
     proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
                                (((1,), (0,)), ((), ())),
@@ -492,38 +505,15 @@ def _dyt_prologue_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                          o_ref, adapt_ref, sel_ref, qkv_s, out_s,
                          *, heads: int, hd: int, scale: float,
                          with_select: bool):
-    N, C = x_ref.shape[1], x_ref.shape[2]
     x = x_ref[0]
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    ln = xc * jax.lax.rsqrt(var + 1e-6) * g_ref[0] + b_ref[0]
+    ln = layernorm_f32(xf, g_ref[0], b_ref[0])
     qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
-    left = lane < hd
-    for p in range(heads // 2):
-        qp = qkv_s[:, 2 * hd * p: 2 * hd * (p + 1)]
-        kp = qkv_s[:, C + 2 * hd * p: C + 2 * hd * (p + 1)]
-        vp = qkv_s[:, 2 * C + 2 * hd * p: 2 * C + 2 * hd * (p + 1)]
-        qp = (qp.astype(jnp.float32) * scale).astype(qp.dtype)
-        q0 = jnp.where(left, qp, jnp.zeros_like(qp))
-        lhs = jnp.concatenate([q0, qp - q0], axis=0)
-        s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
-        l = jnp.sum(e, axis=-1, keepdims=True)
-        o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        o_all = o_all * (1.0 / l)
-        out = (jnp.where(left, o_all[0:N], 0.0)
-               + jnp.where(left, 0.0, o_all[N:2 * N]))
-        out_s[:, 2 * hd * p: 2 * hd * (p + 1)] = out.astype(out_s.dtype)
+    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
 
     proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
                                (((1,), (0,)), ((), ())),

@@ -34,6 +34,8 @@ def get_args_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--gelu_approx", action="store_true", default=True)
     p.add_argument("--gelu_exact", dest="gelu_approx", action="store_false")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 = W8A8 serving matmuls (ops/quant.py)")
     return p
 
 
@@ -49,7 +51,7 @@ def main(args):
         tuning = TuningConfig(ffn_num=args.ffn_num)
     model = VisionTransformer(
         ModelConfig(num_classes=args.nb_classes, gelu_approx=args.gelu_approx,
-                    residual_dtype=args.residual_dtype),
+                    residual_dtype=args.residual_dtype, quant=args.quant),
         tuning=tuning, select=sel,
         dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
 
