@@ -32,14 +32,19 @@ def _have_cv2() -> bool:
 
 
 def decode_backend() -> str:
-    """Pick the frame-decode backend: decord (reference K400, k400.py:115),
-    PyAV (reference SSv2, sthv2_dataset.py:115), else OpenCV.  Override with
-    DYT_VIDEO_BACKEND=decord|av|cv2."""
+    """Pick the frame-decode backend: our native C++ decoder
+    (native/dyt_video.cpp) when it builds, then decord (reference K400,
+    k400.py:115), PyAV (reference SSv2, sthv2_dataset.py:115), else OpenCV.
+    Override with DYT_VIDEO_BACKEND=native|decord|av|cv2."""
     forced = os.environ.get("DYT_VIDEO_BACKEND")
-    order = [forced] if forced else ["decord", "av", "cv2"]
+    order = [forced] if forced else ["native", "decord", "av", "cv2"]
     for name in order:
         try:
-            if name == "decord":
+            if name == "native":
+                from dynamic_tuning_tpu.data import native_video
+                if not native_video.available():
+                    raise ImportError("native video decoder unavailable")
+            elif name == "decord":
                 import decord  # noqa: F401
             elif name == "av":
                 import av  # noqa: F401
@@ -51,7 +56,14 @@ def decode_backend() -> str:
         except ImportError:
             if forced:
                 raise
-    raise ImportError("no video decode backend (decord/av/cv2) available")
+    raise ImportError("no video decode backend (native/decord/av/cv2) "
+                      "available")
+
+
+def _read_frames_native(path: str, want: List[int]):
+    from dynamic_tuning_tpu.data import native_video
+
+    return native_video.read_frames(path, want)
 
 
 def _read_frames_decord(path: str, want: List[int]):
@@ -94,8 +106,8 @@ def _read_frames_cv2(path: str, want: List[int]):
     return frames
 
 
-_READERS = {"decord": _read_frames_decord, "av": _read_frames_av,
-            "cv2": _read_frames_cv2}
+_READERS = {"native": _read_frames_native, "decord": _read_frames_decord,
+            "av": _read_frames_av, "cv2": _read_frames_cv2}
 
 
 def sample_indices_random(num_frames: int, clip_len: int, rate: int,
@@ -243,6 +255,10 @@ class VideoDataset:
 
     def _num_frames(self, path: str) -> int:
         full = os.path.join(self.root, path)
+        if self.backend == "native":
+            from dynamic_tuning_tpu.data import native_video
+
+            return max(native_video.probe(full)[0], 1)
         if self.backend == "decord":
             import decord
 

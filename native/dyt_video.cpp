@@ -1,0 +1,161 @@
+// dyt_video: native video frame decoder for dynamic_tuning_tpu.
+//
+// The reference delegates video decode to decord (K400,
+// video_datasets/k400.py:115-117) and PyAV (SSv2,
+// video_datasets/sthv2_dataset.py:115-121) — both thin wrappers over
+// libav*.  This is our own native layer over the same libraries: demux ->
+// decode -> swscale to RGB24 for a sorted list of wanted frame indices,
+// exposed as a plain C ABI consumed via ctypes
+// (dynamic_tuning_tpu/data/native_video.py).  Sequential decode (no
+// seeking) matches the PyAV reference path exactly and is the only
+// frame-exact strategy for inter-coded streams.
+//
+// Build: g++ -O3 -shared -fPIC dyt_video.cpp -o libdyt_video.so \
+//            -lavformat -lavcodec -lavutil -lswscale
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct Opened {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  int stream = -1;
+
+  ~Opened() {
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return false;
+    const AVCodec* codec = nullptr;
+    stream = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (stream < 0 || !codec) return false;
+    dec = avcodec_alloc_context3(codec);
+    if (!dec) return false;
+    if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
+      return false;
+    dec->thread_count = 1;  // one worker thread per clip (pool parallelism
+                            // lives in the Python loader workers)
+    return avcodec_open2(dec, codec, nullptr) >= 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Probe geometry + frame count.  Returns 0 on success, -1 on failure.
+// num_frames uses container metadata when present; falls back to a
+// duration*fps estimate, then to a full packet count (always exact but
+// reads the file).
+int dyt_video_probe(const char* path, int* num_frames, int* h, int* w) {
+  Opened v;
+  if (!v.open(path)) return -1;
+  AVStream* st = v.fmt->streams[v.stream];
+  *h = v.dec->height;
+  *w = v.dec->width;
+  int64_t n = st->nb_frames;
+  if (n <= 0 && st->duration > 0 && st->avg_frame_rate.num > 0) {
+    n = av_rescale_q(st->duration, st->time_base,
+                     av_inv_q(st->avg_frame_rate));
+  }
+  if (n <= 0) {
+    AVPacket* pkt = av_packet_alloc();
+    n = 0;
+    while (av_read_frame(v.fmt, pkt) >= 0) {
+      if (pkt->stream_index == v.stream) ++n;
+      av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+  }
+  *num_frames = static_cast<int>(n);
+  return 0;
+}
+
+// Decode the given (ascending, deduped) frame indices into out
+// (n * h * w * 3, RGB24, rows tightly packed).  h/w must come from probe.
+// Frames past the end of the stream repeat the last decoded frame (the
+// Python backends clamp indices the same way).  Returns the number of
+// wanted slots filled, or -1 on open/decode failure.
+int dyt_video_decode(const char* path, const int* want, int n,
+                     uint8_t* out, int h, int w) {
+  if (n <= 0) return 0;
+  Opened v;
+  if (!v.open(path)) return -1;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  SwsContext* sws = nullptr;
+  const int last_want = want[n - 1];
+  int idx = 0;        // decoded-frame counter
+  int next = 0;       // next wanted slot
+  int filled = 0;
+  uint8_t* last_slot = nullptr;
+
+  auto emit = [&](AVFrame* f) {
+    // one frame decoded with display index `idx`; copy into every wanted
+    // slot that matches (duplicate indices in `want` are allowed)
+    while (next < n && want[next] == idx) {
+      uint8_t* dst = out + static_cast<size_t>(next) * h * w * 3;
+      if (!sws) {
+        sws = sws_getContext(f->width, f->height,
+                             static_cast<AVPixelFormat>(f->format), w, h,
+                             AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                             nullptr, nullptr);
+      }
+      uint8_t* planes[1] = {dst};
+      int strides[1] = {w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, f->height, planes, strides);
+      last_slot = dst;
+      ++next;
+      ++filled;
+    }
+    ++idx;
+  };
+
+  bool done = false;
+  while (!done && av_read_frame(v.fmt, pkt) >= 0) {
+    if (pkt->stream_index == v.stream &&
+        avcodec_send_packet(v.dec, pkt) >= 0) {
+      while (avcodec_receive_frame(v.dec, frame) >= 0) {
+        emit(frame);
+        if (next >= n || idx > last_want) { done = true; break; }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {  // flush the decoder for trailing frames
+    avcodec_send_packet(v.dec, nullptr);
+    while (avcodec_receive_frame(v.dec, frame) >= 0) {
+      emit(frame);
+      if (next >= n || idx > last_want) break;
+    }
+  }
+  // clamp semantics: unfilled trailing slots repeat the last decoded frame
+  while (next < n && last_slot) {
+    std::memcpy(out + static_cast<size_t>(next) * h * w * 3, last_slot,
+                static_cast<size_t>(h) * w * 3);
+    ++next;
+    ++filled;
+  }
+
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return filled;
+}
+
+}  // extern "C"

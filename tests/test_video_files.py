@@ -96,3 +96,49 @@ def test_builder_k400_layout(video_root):
     assert nc == 400
     clip, label = tr[2]
     assert clip.shape[0] == 4 and label == 2
+
+
+def test_native_decoder_matches_cv2(video_root):
+    """The C++ decoder (native/dyt_video.cpp) returns the same frames as the
+    cv2 backend (both libav underneath; identical yuv->rgb within rounding)."""
+    from dynamic_tuning_tpu.data import native_video
+    from dynamic_tuning_tpu.data.video import (_read_frames_cv2,
+                                               _read_frames_native)
+
+    if not native_video.available():
+        pytest.skip("native video decoder unavailable")
+    path = os.path.join(video_root, "clip0.mp4")
+    n, h, w = native_video.probe(path)
+    assert (h, w) == (48, 64) and n >= 38   # metadata may under/over-count
+    want = [0, 5, 17, 33]
+    got = _read_frames_native(path, want)
+    ref = _read_frames_cv2(path, want)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i].shape == ref[i].shape == (48, 64, 3)
+        diff = np.abs(got[i].astype(np.int16) - ref[i].astype(np.int16))
+        assert diff.mean() < 2.0, (i, diff.mean())
+
+
+def test_native_decoder_clamps_past_end(video_root):
+    from dynamic_tuning_tpu.data import native_video
+
+    if not native_video.available():
+        pytest.skip("native video decoder unavailable")
+    path = os.path.join(video_root, "clip1.mp4")
+    frames = native_video.read_frames(path, [39, 500])
+    assert np.array_equal(frames[500], frames[39])
+
+
+def test_video_dataset_native_backend(video_root, monkeypatch):
+    from dynamic_tuning_tpu.data import native_video
+
+    if not native_video.available():
+        pytest.skip("native video decoder unavailable")
+    monkeypatch.setenv("DYT_VIDEO_BACKEND", "native")
+    ds = VideoDataset(video_root, os.path.join(video_root, "train.csv"),
+                      clip_len=4, sampling_rate=4, canvas=32, num_classes=3)
+    assert ds.backend == "native"
+    clip, label = ds[2]
+    assert clip.shape == (4, 32, 32, 3) and label == 2
+    assert 40 <= clip.mean() <= 160
