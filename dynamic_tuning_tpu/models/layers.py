@@ -582,9 +582,14 @@ class Block(nn.Module):
         with_select = bool(self.select and not complete_model)
         gate, logits, adapt_x = None, None, None
         adapter_done = False
-        # int8 W8A8 serving (ops/quant.py) shares the fused kernels'
-        # applicability conditions; quantizes only the qkv/proj/MLP matmuls
-        use_q8 = self.quant == "int8" and fuse_sublayer
+        # int8 W8A8 serving (ops/quant.py): the MLP kernel only needs a
+        # deterministic forward on TPU; the attention-sublayer kernels also
+        # need the fused kernels' applicability conditions
+        use_q8_mlp = (
+            self.quant == "int8" and deterministic and fused_mode != "0"
+            and (fused_mode == "interpret"
+                 or jax.default_backend() == "tpu"))
+        use_q8 = use_q8_mlp and fuse_sublayer
 
         if fuse_sublayer and plain_adapter:
             # DyT prologue kernel: attention sublayer + adapter + router head
@@ -675,7 +680,7 @@ class Block(nn.Module):
             adapt_x = make_adapter(self.tuning, self.dtype)(
                 x.astype(self.dtype), deterministic=deterministic)
 
-        if use_q8:
+        if use_q8_mlp:
             # int8 LN+MLP kernel consumes raw params (same tree names as the
             # norm2/mlp modules, which are not constructed on this path —
             # flax reserves submodule names at construction time)
@@ -717,7 +722,7 @@ class Block(nn.Module):
             # effective gate (what was actually computed), for accounting —
             # fp32 so downstream means/sums don't saturate in bf16
             gate = eff_gate[..., None].astype(jnp.float32)
-        elif use_q8:
+        elif use_q8_mlp:
             # dense serving MLP on the int8 kernel (DropPath is identity on
             # the deterministic path this branch requires)
             mlp_x = mlp_rows(x)

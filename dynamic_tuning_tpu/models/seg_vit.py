@@ -89,6 +89,7 @@ class SegVisionTransformer(nn.Module):
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
+                gelu_approx=cfg.gelu_approx, quant=cfg.quant,
                 window_size=(hp, wp) if self.use_rel_pos_bias else None,
                 init_values=self.init_values, qv_bias_only=self.qv_bias_only,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,

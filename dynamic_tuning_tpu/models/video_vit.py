@@ -136,6 +136,7 @@ class VideoVisionTransformer(nn.Module):
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
+                gelu_approx=cfg.gelu_approx, quant=cfg.quant,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
                 name=f"blocks_{i}")(x, training=training,
                                     complete_model=complete_model,

@@ -20,8 +20,9 @@ def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
     from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
 
+    quant = "int8" if "--quant" in sys.argv[1:] else "none"
     cfg = ModelConfig(num_classes=400, num_frames=T, gelu_approx=True,
-                      residual_dtype="bfloat16")
+                      residual_dtype="bfloat16", quant=quant)
     x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, T, 224, 224, 3),
                           jnp.float32)
 
@@ -58,7 +59,8 @@ def main():
     dense_cps = BATCH * ITERS / best["dense"]
     dyt_cps = BATCH * ITERS / best["dyt"]
     print(json.dumps({
-        "metric": "video DyT clips/s (keep 0.5, 16x8x224, bf16)",
+        "metric": f"video DyT clips/s (keep 0.5, 16x8x224, "
+                  f"{'int8' if quant == 'int8' else 'bf16'})",
         "dyt_clips_s": round(dyt_cps, 1),
         "dense_clips_s": round(dense_cps, 1),
         "vs_dense": round(dyt_cps / dense_cps, 4)}))
