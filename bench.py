@@ -88,12 +88,43 @@ def main():
     dense_ips = BATCH * ITERS / best["dense"]
     dyt_ips = BATCH * ITERS / best["dyt"]
 
+    # int8 (W8A8) serving mode — same models with quantized serving matmuls
+    # (ops/quant.py); reported alongside, never as the headline ratio (the
+    # reference protocol is mixed-precision float, our bf16)
+    q8 = {}
+    try:
+        import dataclasses
+        dyt_q8 = VisionTransformer(
+            dataclasses.replace(cfg, quant="int8"), tuning=TuningConfig(),
+            select=sel, dtype=jnp.bfloat16)
+        def fn_q8(p, xx):
+            logits, _ = dyt_q8.apply({"params": p}, xx, dispatch=True)
+            return logits.sum()
+        @jax.jit
+        def many_q8(p, xx):
+            def body(c, _):
+                return fn_q8(p, xx + c * 1e-12).astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+            return out
+        _ = float(many_q8(dyt_params, x))
+        t_best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _ = float(many_q8(dyt_params, x))
+            t_best = min(t_best, time.perf_counter() - t0)
+        q8_ips = BATCH * ITERS / t_best
+        q8 = {"int8_img_s": round(q8_ips, 2),
+              "int8_vs_dense_bf16": round(q8_ips / dense_ips, 4)}
+    except Exception:
+        pass  # int8 serving is an extra: never fail the headline bench
+
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",
         "value": round(dyt_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(dyt_ips / dense_ips, 4),
         "baseline_dense_ips": round(dense_ips, 2),
+        **q8,
     }))
 
 
