@@ -282,26 +282,30 @@ def mha_fused_reference(qkv: jax.Array, *, heads: int) -> jax.Array:
 
 def _mha_windowed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hd: int,
                          scale: float):
-    N = q_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
+    """One (pair, row-chunk, sample) grid step.  Rows are chunked so the
+    fp32 score tile stays inside the 16 MB scoped-VMEM budget even at
+    N=1025 inside a full compiled model (an unchunked [2N, N] tile OOMs
+    there; the standalone-kernel profile masked this)."""
+    RC = q_ref.shape[1]                                   # rows this chunk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, 2 * hd), 1)
     left = lane < hd
-    qp = q_ref[0]
-    kp = k_ref[0]
+    qp = q_ref[0]                                         # [RC, 128]
+    kp = k_ref[0]                                         # [N, 128]
     vp = v_ref[0]
     qp = (qp.astype(jnp.float32) * scale).astype(qp.dtype)
     q0 = jnp.where(left, qp, jnp.zeros_like(qp))
-    lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2N, 128]
+    lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2RC, 128]
     s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s + bias_ref[0]                                   # [2N, N]
+    s = s + jnp.concatenate([bias_ref[0, 0], bias_ref[0, 1]], axis=0)
     e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
     l = jnp.sum(e, axis=-1, keepdims=True)
     o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     o_all = o_all * (1.0 / l)
-    out = (jnp.where(left, o_all[0:N], 0.0)
-           + jnp.where(left, 0.0, o_all[N:2 * N]))
+    out = (jnp.where(left, o_all[0:RC], 0.0)
+           + jnp.where(left, 0.0, o_all[RC:2 * RC]))
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -332,26 +336,35 @@ def _mha_windowed_impl(qkv, bias, heads, interpret):
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
     P = heads // 2
     scale = hd ** -0.5
-    bias_pairs = bias.astype(jnp.float32).reshape(P, 2 * N, N)
+    bias_pairs = bias.astype(jnp.float32).reshape(P, 2, N, N)
+    # row-chunk size: fp32 score tile 2*RC*N + bias tile 2*RC*N must fit the
+    # 16 MB scoped-VMEM budget alongside k/v; 384 rows ~ 6.3 MB at N=1025
+    # (bigger chunks = fewer redundant k/v DMAs; 512 OOMs with the revolving
+    # bias double-buffer)
+    RC = min(N, 384)
+    J = (N + RC - 1) // RC
     flops = 2 * 2 * B * heads * N * N * 2 * hd
-    pair_block = lambda off: pl.BlockSpec(
-        (1, N, 2 * hd), lambda p, b, off=off: (b, 0, off + p),
+    qrow_block = lambda off: pl.BlockSpec(
+        (1, RC, 2 * hd), lambda p, j, b, off=off: (b, j, off + p),
+        memory_space=pltpu.VMEM)
+    kv_block = lambda off: pl.BlockSpec(
+        (1, N, 2 * hd), lambda p, j, b, off=off: (b, 0, off + p),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mha_windowed_kernel, hd=hd, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
-        grid=(P, B),
+        grid=(P, J, B),
         in_specs=[
-            pair_block(0),                    # q pair lanes
-            pair_block(P),                    # k pair lanes
-            pair_block(2 * P),                # v pair lanes
-            pl.BlockSpec((1, 2 * N, N), lambda p, b: (p, 0, 0),
+            qrow_block(0),                    # q pair lanes, row chunk
+            kv_block(P),                      # k pair lanes, all rows
+            kv_block(2 * P),                  # v pair lanes, all rows
+            pl.BlockSpec((1, 2, RC, N), lambda p, j, b: (p, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, 2 * hd), lambda p, b: (b, 0, p),
+        out_specs=pl.BlockSpec((1, RC, 2 * hd), lambda p, j, b: (b, j, p),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=B * heads * N * N,
             bytes_accessed=(qkv.size + B * N * C) * qkv.dtype.itemsize
