@@ -27,6 +27,29 @@ from dynamic_tuning_tpu.models.vit import PatchEmbed
 Dtype = Any
 
 
+class TubeletEmbed(nn.Module):
+    """3-D (tubelet) patch embedding — the VideoMAE-family patch stem: one
+    Conv over (tubelet, p, p) so each token covers ``tubelet`` frames.  The
+    reference ships the matching pos-embed interpolation for these
+    checkpoints (util/pos_embed.py:75-104); enable with
+    ``ModelConfig(tubelet_size=2)``."""
+
+    patch_size: int = 16
+    tubelet_size: int = 2
+    embed_dim: int = 768
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """[B, T, H, W, C] -> [B, T // tubelet, gh * gw, D]."""
+        t, p = self.tubelet_size, self.patch_size
+        x = nn.Conv(self.embed_dim, (t, p, p), strides=(t, p, p),
+                    padding="VALID", dtype=self.dtype,
+                    kernel_init=trunc_normal_02, name="proj")(x)
+        B, tg, gh, gw, D = x.shape
+        return x.reshape(B, tg, gh * gw, D)
+
+
 class CrossAttention(nn.Module):
     """Query-token cross-attention (reference CrossAttention :52-110):
     separate q/k/v projections; when qkv_bias, q and v carry biases while k's
@@ -111,10 +134,18 @@ class VideoVisionTransformer(nn.Module):
                  ) -> Tuple[jax.Array, Dict[str, Optional[jax.Array]]]:
         cfg = self.cfg
         B, T = x.shape[0], x.shape[1]
-        x = x.reshape(B * T, *x.shape[2:])          # fold time into batch
-
-        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
-                       name="patch_embed")(x.astype(self.dtype))
+        if cfg.tubelet_size > 1:
+            # VideoMAE-style tubelet stem: each token covers tubelet_size
+            # frames; the per-frame DyT blocks then run per frame GROUP
+            xg = TubeletEmbed(cfg.patch_size, cfg.tubelet_size,
+                              cfg.embed_dim, dtype=self.dtype,
+                              name="patch_embed")(x.astype(self.dtype))
+            T = xg.shape[1]
+            x = xg.reshape(B * T, xg.shape[2], cfg.embed_dim)
+        else:
+            x = x.reshape(B * T, *x.shape[2:])      # fold time into batch
+            x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
+                           name="patch_embed")(x.astype(self.dtype))
         x = x.astype(jnp.float32)
 
         if cfg.class_token:

@@ -90,6 +90,9 @@ def _convert_tensor(path: Tuple[str, ...], w: np.ndarray) -> np.ndarray:
             return np.ascontiguousarray(w.T)            # [out,in] -> [in,out]
         if w.ndim == 4:
             return np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # OIHW->HWIO
+        if w.ndim == 5:
+            # torch Conv3d OIDHW -> flax DHWIO (VideoMAE tubelet patch stem)
+            return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0))
     if path[0] == "cls_token" or path[0] == "pos_embed":
         return w
     return w

@@ -18,6 +18,8 @@ def get_args_parser():
     parser.set_defaults(batch_size=16, warmup_epochs=2, epochs=12,
                         dataset="k400")
     parser.add_argument("--num_frames", type=int, default=8)
+    parser.add_argument("--tubelet_size", type=int, default=1,
+                        help=">1 = VideoMAE-style 3-D tubelet patch stem")
     parser.add_argument("--sampling_rate", type=int, default=16)
     parser.add_argument("--test_num_segment", type=int, default=3)
     parser.add_argument("--test_num_crop", type=int, default=1)
@@ -33,7 +35,8 @@ def build_config(args):
     return cfg.replace(
         # extend (not rebuild) the CLI-derived ModelConfig so knobs like
         # gelu_approx / residual_dtype / remat reach the video path too
-        model=dataclasses.replace(cfg.model, num_frames=args.num_frames),
+        model=dataclasses.replace(cfg.model, num_frames=args.num_frames,
+                                  tubelet_size=args.tubelet_size),
         data=DataConfig(dataset=args.dataset, data_path=args.data_path,
                         batch_size=args.batch_size,
                         num_workers=args.num_workers,

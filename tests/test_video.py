@@ -194,3 +194,32 @@ def test_augment_clip_batch_resize_types():
                                  min_size=40, max_size=56, train=True,
                                  resize_type=rt)
         assert out.shape == (2, 4, 32, 32, 3)
+
+
+def test_video_tubelet_forward_and_import():
+    """VideoMAE-style tubelet stem: tokens cover tubelet_size frames, the
+    per-frame blocks run per frame GROUP, and a torch Conv3d patch stem
+    imports OIDHW -> DHWIO (reference util/pos_embed.py:75-104 family)."""
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=12, embed_dim=64,
+                      depth=2, num_heads=2, num_frames=4, tubelet_size=2)
+    model = VideoVisionTransformer(cfg, tuning=TuningConfig(ffn_num=8,
+                                                            d_model=64),
+                                   select=SelectConfig(), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    # 3-D conv stem: [t, p, p, C, D]
+    assert params["patch_embed"]["proj"]["kernel"].shape == (2, 8, 8, 3, 64)
+    logits, aux = model.apply({"params": params}, x)
+    assert logits.shape == (2, 12)
+    # gates fold over frame GROUPS: B * (T // tubelet) leading dim
+    assert aux["token_select"].shape == (4, cfg.depth, cfg.num_patches, 1)
+
+    # torch-side Conv3d import: OIDHW -> DHWIO
+    from dynamic_tuning_tpu.train.checkpoint import import_pretrained
+    rs = np.random.RandomState(0)
+    w3d = rs.randn(64, 3, 2, 8, 8).astype(np.float32)
+    sd = {"patch_embed.proj.weight": w3d}
+    params2, _ = import_pretrained(params, sd)
+    np.testing.assert_allclose(
+        np.asarray(params2["patch_embed"]["proj"]["kernel"]),
+        w3d.transpose(2, 3, 4, 1, 0))
