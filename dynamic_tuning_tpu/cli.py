@@ -69,7 +69,8 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="residual-stream dtype (bfloat16 = fast)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize blocks in backward (big batches)")
-    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+    parser.add_argument("--quant", default="none",
+                        choices=["none", "int8", "int8_attn"],
                         help="int8 = W8A8 serving matmuls (eval paths only)")
     return parser
 

@@ -586,10 +586,12 @@ class Block(nn.Module):
         # deterministic forward on TPU; the attention-sublayer kernels also
         # need the fused kernels' applicability conditions
         use_q8_mlp = (
-            self.quant == "int8" and deterministic and fused_mode != "0"
+            self.quant in ("int8", "int8_attn") and deterministic
+            and fused_mode != "0"
             and (fused_mode == "interpret"
                  or jax.default_backend() == "tpu"))
         use_q8 = use_q8_mlp and fuse_sublayer
+        attn_q8 = self.quant == "int8_attn"
 
         if fuse_sublayer and plain_adapter:
             # DyT prologue kernel: attention sublayer + adapter + router head
@@ -612,7 +614,7 @@ class Block(nn.Module):
                     x, g, bta, wqkv, bqkv, wproj, bproj,
                     wd.astype(self.dtype), bd, wu.astype(self.dtype), bu,
                     ascale, wsel, bsel, heads=self.num_heads,
-                    with_select=with_select,
+                    with_select=with_select, attn_q8=attn_q8,
                     interpret=fused_mode == "interpret")
             else:
                 outs = dyt_prologue_serving(
@@ -646,7 +648,7 @@ class Block(nn.Module):
                     attention_sublayer_serving_q8
                 x = attention_sublayer_serving_q8(
                     x, g, bta, wqkv, bqkv, wproj, bproj,
-                    heads=self.num_heads,
+                    heads=self.num_heads, attn_q8=attn_q8,
                     interpret=fused_mode == "interpret")
             else:
                 x = attention_sublayer_serving(

@@ -201,27 +201,71 @@ def q8_ln_mlp_reference(x, gamma, beta, w1, b1, w2, b2, *,
     return out.astype(x.dtype)
 
 
+# --- int8 attention core ------------------------------------------------------
+#
+# Optional full-int8 core (quant="int8_attn"): scores = int8 q @ int8
+# k-centered, probs @ v = int8 x per-lane-int8.  Centering k by its per-lane
+# mean before quantization removes the common mode that dominates trained
+# ViT keys; the centering shifts every score row by a constant which the
+# softmax normalization cancels EXACTLY (e and l scale by the same factor),
+# so the only approximation is the int8 rounding of the centered values —
+# the SageAttention-style smoothing argument.
+
+
+def attn_core_pairs_q8(qkv_s, out_s, *, heads: int, hd: int, scale: float):
+    N = qkv_s.shape[0]
+    C = heads * hd
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * hd), 1)
+    left = lane < hd
+    for p in range(heads // 2):
+        qp = qkv_s[:, 2 * hd * p: 2 * hd * (p + 1)].astype(jnp.float32)
+        kp = qkv_s[:, C + 2 * hd * p: C + 2 * hd * (p + 1)].astype(jnp.float32)
+        vp = qkv_s[:, 2 * C + 2 * hd * p: 2 * C + 2 * hd * (p + 1)]
+        qp = qp * scale
+        q0 = jnp.where(left, qp, jnp.zeros_like(qp))
+        lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2N, 128] f32
+        kc = kp - jnp.mean(kp, axis=0, keepdims=True)         # center lanes
+        ql, qs = _row_quant(lhs)
+        kq, ks = _row_quant(kc)
+        s = jax.lax.dot_general(ql, kq, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * qs * ks.reshape(1, N)
+        e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        # AV stays bf16: quantizing the [2N, N] prob tensor costs more VPU
+        # time than the int8 matmul saves at these shapes (measured — see
+        # BENCH.md int8_attn notes)
+        o_all = jax.lax.dot_general(e.astype(vp.dtype), vp,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        o_all = o_all * (1.0 / l)
+        out = (jnp.where(left, o_all[0:N], 0.0)
+               + jnp.where(left, 0.0, o_all[N:2 * N]))
+        out_s[:, 2 * hd * p: 2 * hd * (p + 1)] = out.astype(out_s.dtype)
+
+
 # --- int8 plain attention sublayer (dense baseline) ---------------------------
 
 
 def _attn_sublayer_q8_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
                              bqkv_ref, wproj_ref, sproj_ref, bproj_ref,
                              o_ref, qkv_s, out_s, *, heads: int, hd: int,
-                             scale: float):
+                             scale: float, attn_q8: bool):
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     ln = layernorm_f32(xf, g_ref[0], b_ref[0])
     qkv = _q8_matmul(ln, wqkv_ref, sqkv_ref)
     qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
 
-    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
+    core = attn_core_pairs_q8 if attn_q8 else attn_core_pairs
+    core(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
 
     proj = _q8_matmul(out_s[...].astype(jnp.float32), wproj_ref, sproj_ref)
     o_ref[0] = (xf + proj + bproj_ref[0]).astype(o_ref.dtype)
 
 
 def _attn_sublayer_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
-                           *, heads, interpret):
+                           *, heads, attn_q8, interpret):
     B, N, C = x.shape
     hd = C // heads
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
@@ -231,7 +275,7 @@ def _attn_sublayer_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
     flops = 2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
     return pl.pallas_call(
         functools.partial(_attn_sublayer_q8_kernel, heads=heads, hd=hd,
-                          scale=scale),
+                          scale=scale, attn_q8=attn_q8),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
@@ -256,23 +300,25 @@ def _attn_sublayer_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
 
 
 @functools.lru_cache(maxsize=None)
-def _sublayer_q8_partitioned(heads: int, interpret: bool):
+def _sublayer_q8_partitioned(heads: int, attn_q8: bool, interpret: bool):
     return _batch_partitioned(
-        lambda *a: _attn_sublayer_q8_impl(*a, heads=heads,
+        lambda *a: _attn_sublayer_q8_impl(*a, heads=heads, attn_q8=attn_q8,
                                           interpret=interpret),
         arg_ndims=(3,) + (2,) * 8, out_ndims=(3,))
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "attn_q8",
+                                             "interpret"))
 def attention_sublayer_serving_q8(x, gamma, beta, wqkv, bqkv, wproj, bproj,
-                                  *, heads: int, interpret: bool = False):
+                                  *, heads: int, attn_q8: bool = False,
+                                  interpret: bool = False):
     """Int8 variant of ``attention_sublayer_serving`` (same contract):
     x [B,N,C] -> x + proj(mha(qkv(LN(x)))) with qkv/proj on the int8 MXU
     path.  Weights arrive as floats and are per-channel quantized here."""
     C = x.shape[-1]
     qqkv, sqkv = quantize_weight(wqkv)
     qproj, sproj = quantize_weight(wproj)
-    return _sublayer_q8_partitioned(heads, interpret)(
+    return _sublayer_q8_partitioned(heads, attn_q8, interpret)(
         x, gamma.reshape(1, C).astype(jnp.float32),
         beta.reshape(1, C).astype(jnp.float32),
         qqkv, sqkv, bqkv.reshape(1, 3 * C).astype(jnp.float32),
@@ -293,14 +339,15 @@ def _dyt_prologue_q8_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
                             wsel_ref, bsel_ref,
                             o_ref, adapt_ref, sel_ref, qkv_s, out_s,
                             *, heads: int, hd: int, scale: float,
-                            with_select: bool):
+                            with_select: bool, attn_q8: bool):
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     ln = layernorm_f32(xf, g_ref[0], b_ref[0])
     qkv = _q8_matmul(ln, wqkv_ref, sqkv_ref)
     qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
 
-    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
+    core = attn_core_pairs_q8 if attn_q8 else attn_core_pairs
+    core(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
 
     proj = _q8_matmul(out_s[...].astype(jnp.float32), wproj_ref, sproj_ref)
     xm = xf + proj + bproj_ref[0]
@@ -323,7 +370,7 @@ def _dyt_prologue_q8_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
 
 def _dyt_prologue_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
                           wd, bd, wu, bu, asc, wsel, bsel, *, heads,
-                          with_select, interpret):
+                          with_select, attn_q8, interpret):
     B, N, C = x.shape
     hd = C // heads
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
@@ -336,7 +383,8 @@ def _dyt_prologue_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
              + 4 * B * N * C * ffn)
     return pl.pallas_call(
         functools.partial(_dyt_prologue_q8_kernel, heads=heads, hd=hd,
-                          scale=scale, with_select=with_select),
+                          scale=scale, with_select=with_select,
+                          attn_q8=attn_q8),
         out_shape=(jax.ShapeDtypeStruct((B, N, C), x.dtype),
                    jax.ShapeDtypeStruct((B, N, C), x.dtype),
                    jax.ShapeDtypeStruct((B, N, 1), jnp.float32)),
@@ -373,20 +421,23 @@ def _dyt_prologue_q8_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
 
 
 @functools.lru_cache(maxsize=None)
-def _prologue_q8_partitioned(heads: int, with_select: bool, interpret: bool):
+def _prologue_q8_partitioned(heads: int, with_select: bool, attn_q8: bool,
+                             interpret: bool):
     return _batch_partitioned(
         lambda *a: _dyt_prologue_q8_impl(*a, heads=heads,
                                          with_select=with_select,
+                                         attn_q8=attn_q8,
                                          interpret=interpret),
         arg_ndims=(3,) + (2,) * 15, out_ndims=(3, 3, 3))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "with_select", "interpret"))
+                   static_argnames=("heads", "with_select", "attn_q8",
+                                    "interpret"))
 def dyt_prologue_serving_q8(x, gamma, beta, wqkv, bqkv, wproj, bproj,
                             wdown, bdown, wup, bup, adapter_scale, wsel,
                             bsel, *, heads: int, with_select: bool = True,
-                            interpret: bool = False):
+                            attn_q8: bool = False, interpret: bool = False):
     """Int8 fused DyT serving prologue — same contract as
     ``dyt_prologue_serving`` (x_mid, adapt[, router logits]) with the qkv
     and out-proj matmuls on the MXU int8 path.  Weights arrive as floats;
@@ -397,7 +448,8 @@ def dyt_prologue_serving_q8(x, gamma, beta, wqkv, bqkv, wproj, bproj,
     ffn = wdown.shape[1]
     qqkv, sqkv = quantize_weight(wqkv)
     qproj, sproj = quantize_weight(wproj)
-    outs = _prologue_q8_partitioned(heads, with_select, interpret)(
+    outs = _prologue_q8_partitioned(heads, with_select, attn_q8,
+                                    interpret)(
         x, gamma.reshape(1, C).astype(jnp.float32),
         beta.reshape(1, C).astype(jnp.float32),
         qqkv, sqkv, bqkv.reshape(1, 3 * C).astype(jnp.float32),

@@ -34,7 +34,8 @@ def get_args_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--gelu_approx", action="store_true", default=True)
     p.add_argument("--gelu_exact", dest="gelu_approx", action="store_false")
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8_attn"],
                    help="int8 = W8A8 serving matmuls (ops/quant.py)")
     return p
 

@@ -213,3 +213,42 @@ def test_int8_against_golden_fixture(monkeypatch):
                                atol=0.02 * np.abs(want).max())
     assert np.argmax(np.asarray(logits), -1).tolist() == \
         np.argmax(want, -1).tolist()
+
+
+def test_q8_attn_core_close_to_fp():
+    """Full-int8 core (int8_attn): k-mean-centered int8 scores + int8 AV
+    stay close to the fp core."""
+    x, g, b, wqkv, bqkv, wproj, bproj = _sublayer_args(jax.random.PRNGKey(9))
+    out_f = attention_sublayer_reference(x, g, b, wqkv, bqkv, wproj, bproj,
+                                         heads=4)
+    out_q = attention_sublayer_serving_q8(x, g, b, wqkv, bqkv, wproj, bproj,
+                                          heads=4, attn_q8=True,
+                                          interpret=True)
+    d = np.abs(np.asarray(out_q, np.float32) - np.asarray(out_f, np.float32))
+    scale = np.abs(np.asarray(out_f, np.float32)).mean()
+    assert d.mean() / scale < 0.02, d.mean() / scale
+
+
+def test_int8_attn_against_golden_fixture(monkeypatch):
+    """int8_attn keeps the golden argmax (stricter drift than int8 is not
+    expected; same budget)."""
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_vit.npz")
+    data = np.load(fix)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    from dynamic_tuning_tpu.train.checkpoint import import_pretrained
+
+    mc = ModelConfig(img_size=64, patch_size=16, embed_dim=128, depth=2,
+                     num_heads=2, num_classes=10, quant="int8_attn")
+    model = VisionTransformer(mc, tuning=TuningConfig(ffn_num=8, d_model=128),
+                              select=SelectConfig(), dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(data["x"][:1]))["params"]
+    params, _ = import_pretrained(params, sd)
+    logits, _ = model.apply({"params": params}, jnp.asarray(data["x"]))
+    want = data["logits_eval"]
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=0.08,
+                               atol=0.03 * np.abs(want).max())
+    assert np.argmax(np.asarray(logits), -1).tolist() == \
+        np.argmax(want, -1).tolist()
