@@ -719,6 +719,10 @@ class Block(nn.Module):
             scores = jnp.concatenate(
                 [jnp.full((B, 1), jnp.inf, jnp.float32),
                  jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))], axis=1)
+            # (ops/quant.py::q8_dispatch_mlp fuses this gather/MLP/scatter
+            # into one kernel but measures SLOWER — 714 vs 570 us/block:
+            # XLA's batched one-hot matmul + the 128-row-tiled MLP beat the
+            # per-sample M=99 tiles; see BENCH.md)
             mlp_x, eff_gate = onehot_dispatch_mlp(
                 x, scores, K, mlp_rows, self.select_cfg.threshold)
             # effective gate (what was actually computed), for accounting —

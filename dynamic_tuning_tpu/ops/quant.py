@@ -201,6 +201,106 @@ def q8_ln_mlp_reference(x, gamma, beta, w1, b1, w2, b2, *,
     return out.astype(x.dtype)
 
 
+# --- fused int8 dispatch MLP (validated experiment — loses) -------------------
+#
+# The dispatch path's gather (one-hot @ x), LN+MLP on the K kept rows, and
+# scatter (one-hot^T @ y) as ONE program per sample, so the [B, K, C]
+# gathered rows never touch HBM.  Measured SLOWER than the unfused
+# composition (714 vs 570 us/block at bench shapes): XLA's batched one-hot
+# matmul plus the 128-row-tiled q8_ln_mlp beat the per-sample M=99 tiles —
+# the HBM saving (~136 us) is smaller than the tiling penalty.  Kept as a
+# tested reference point (tests/test_quant.py) for the fusion boundary;
+# Block uses ops/dispatch.py::onehot_dispatch_mlp + q8_ln_mlp.
+# Semantics: the one-hot matrix (threshold mask folded in) is built by the
+# caller; masked slots gather zero rows whose MLP output the zero scatter
+# column drops — identical to onehot_dispatch_mlp.
+
+
+def _q8_dispatch_mlp_kernel(x_ref, oh_ref, g_ref, b_ref, w1_ref, s1_ref,
+                            b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
+                            *, gelu_approx: bool):
+    x = x_ref[0]                                           # [N, C] bf16
+    oh = oh_ref[0]                                         # [K, N] bf16
+    xg = jax.lax.dot_general(oh, x, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ln = layernorm_f32(xg, g_ref[0], b_ref[0])
+    h = _q8_matmul(ln, w1_ref, s1_ref) + b1_ref[0]
+    h = _gelu_f32(h, gelu_approx)
+    y = _q8_matmul(h, w2_ref, s2_ref) + b2_ref[0]          # [K, C] f32
+    out = jax.lax.dot_general(oh, y.astype(oh.dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _q8_dispatch_mlp_impl(x, oh, g, b, w1, s1, b1, w2, s2, b2, *,
+                          gelu_approx, interpret):
+    B, N, C = x.shape
+    K = oh.shape[1]
+    H = w1.shape[1]
+    const = lambda bb: (0, 0)
+    row = lambda bb: (bb, 0, 0)
+    flops = 4 * B * K * C * H + 4 * B * K * N * C
+    return pl.pallas_call(
+        functools.partial(_q8_dispatch_mlp_kernel, gelu_approx=gelu_approx),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, K, N), row, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, H), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((H, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * K * H,
+            bytes_accessed=2 * x.size * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, oh, g, b, w1, s1, b1, w2, s2, b2)
+
+
+@functools.lru_cache(maxsize=None)
+def _dispatch_mlp_partitioned(gelu_approx: bool, interpret: bool):
+    return _batch_partitioned(
+        lambda *a: _q8_dispatch_mlp_impl(*a, gelu_approx=gelu_approx,
+                                         interpret=interpret),
+        arg_ndims=(3, 3) + (2,) * 8, out_ndims=(3,))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "gelu_approx",
+                                             "threshold", "interpret"))
+def q8_dispatch_mlp(x, scores, gamma, beta, w1, b1, w2, b2, *,
+                    capacity: int, gelu_approx: bool = False,
+                    threshold: float = 0.5, interpret: bool = False):
+    """Capacity dispatch + LN + int8 MLP + scatter, fused.
+
+    x: [B, N, C]; scores: [B, N] keep probabilities (CLS slot pre-forced to
+    +inf).  Returns (mlp_contribution [B, N, C], effective_gate [B, N]) —
+    the same contract as ops/dispatch.py::onehot_dispatch_mlp with the MLP
+    on the int8 kernel and zero HBM traffic for the gathered rows.
+    SPMD-partitions along the batch sharding.
+    """
+    C = x.shape[-1]
+    H = w1.shape[1]
+    vals, idx = jax.lax.top_k(scores, capacity)
+    keep = (vals > threshold).astype(x.dtype)
+    oh = jax.nn.one_hot(idx, x.shape[1], dtype=x.dtype) * keep[..., None]
+    q1, s1 = quantize_weight(w1)
+    q2, s2 = quantize_weight(w2)
+    out = _dispatch_mlp_partitioned(gelu_approx, interpret)(
+        x, oh, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32),
+        q1, s1, b1.reshape(1, H).astype(jnp.float32),
+        q2, s2, b2.reshape(1, C).astype(jnp.float32))
+    return out, oh.sum(axis=1)
+
+
 # --- int8 attention core ------------------------------------------------------
 #
 # Optional full-int8 core (quant="int8_attn"): scores = int8 q @ int8

@@ -252,3 +252,30 @@ def test_int8_attn_against_golden_fixture(monkeypatch):
                                atol=0.03 * np.abs(want).max())
     assert np.argmax(np.asarray(logits), -1).tolist() == \
         np.argmax(want, -1).tolist()
+
+
+def test_q8_dispatch_mlp_matches_unfused():
+    """The fused gather+MLP+scatter kernel reproduces the unfused
+    onehot_dispatch_mlp + q8_ln_mlp composition exactly (it loses on speed
+    — BENCH.md — but pins the fusion-boundary experiment)."""
+    from dynamic_tuning_tpu.ops.dispatch import onehot_dispatch_mlp
+    from dynamic_tuning_tpu.ops.quant import q8_dispatch_mlp
+
+    k = jax.random.PRNGKey(11)
+    B, N, C, K = 2, 33, 256, 17
+    x = jax.random.normal(k, (B, N, C), jnp.bfloat16)
+    scores = jax.random.uniform(k, (B, N))
+    g, b = jnp.ones(C), jnp.zeros(C)
+    w1 = jax.random.normal(k, (C, 4 * C)) * 0.02
+    b1 = jnp.zeros(4 * C)
+    w2 = jax.random.normal(k, (4 * C, C)) * 0.02
+    b2 = jnp.zeros(C)
+    want, gate_w = onehot_dispatch_mlp(
+        x, scores, K,
+        lambda r: q8_ln_mlp(r, g, b, w1, b1, w2, b2, interpret=True))
+    got, gate_g = q8_dispatch_mlp(x, scores, g, b, w1, b1, w2, b2,
+                                  capacity=K, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gate_g), np.asarray(gate_w))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
