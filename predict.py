@@ -44,6 +44,9 @@ def get_args_parser():
     p.add_argument("--embed_dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8_attn"],
+                   help="int8 = W8A8 serving matmuls (ops/quant.py)")
     return p
 
 
@@ -72,7 +75,8 @@ def main(args):
     cfg = ModelConfig(num_classes=args.nb_classes, gelu_approx=True,
                       residual_dtype="bfloat16", img_size=args.img_size,
                       patch_size=args.patch_size, embed_dim=args.embed_dim,
-                      depth=args.depth, num_heads=args.num_heads)
+                      depth=args.depth, num_heads=args.num_heads,
+                      quant=args.quant)
     tuning = TuningConfig(ffn_num=args.ffn_num, d_model=args.embed_dim)
     sel = SelectConfig(token_target_ratio=args.token_target_ratio,
                        capacity_ratio=args.capacity_ratio)
