@@ -181,7 +181,10 @@ class Attention(nn.Module):
                     and fused_mode != "0"
                     and (fused_mode == "interpret"
                          or jax.default_backend() == "tpu"))
-        if can_fuse and self.window_size is None:
+        # the unchunked per-sample core holds a [2N, N] fp32 score tile in
+        # VMEM — past ~512 tokens it blows the 16 MB scoped budget inside a
+        # full model (the row-chunked windowed kernel handles big N)
+        if can_fuse and self.window_size is None and N <= 512:
             from dynamic_tuning_tpu.ops.mha_serving import mha_serving_fused
 
             out = mha_serving_fused(qkv, heads=self.num_heads,
@@ -571,6 +574,10 @@ class Block(nn.Module):
             and self.window_size is None and self.init_values is None
             and not self.qv_bias_only
             and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
+            # [2N, N] fp32 score tile must fit the 16 MB scoped-VMEM budget
+            # (big-N paths fall back to Attention / the chunked windowed
+            # kernel)
+            and x.shape[1] <= 512
             and fused_mode != "0"
             and (fused_mode == "interpret" or jax.default_backend() == "tpu"))
         # standard parallel adapter fuses into the prologue kernel; MoE or
