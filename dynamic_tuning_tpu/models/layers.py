@@ -126,6 +126,39 @@ def _relative_position_index(wh: int, ww: int):
     return idx.astype(np.int32), num_rel + 3
 
 
+def _rel_pos_bias_from_table(table: jax.Array, wh: int, ww: int
+                             ) -> jax.Array:
+    """[table_size, H] -> [H, N, N] rel-pos bias WITHOUT the flat N^2-index
+    gather (XLA gathers are index-bound: the naive ``table[idx]`` costs
+    ~2.8 ms per block at N=1025 — 60%+ of the whole seg forward).
+
+    Exploits the Kronecker structure bias[h, i, j] = t3[h, yi-yj, xi-xj]:
+    one [wh, wh]-index gather over the dy axis, one [ww, ww] slice-take over
+    the dx axis, one 5-D transpose — all large-slice operations.  Exact same
+    values as ``table[_relative_position_index(wh, ww)[0]]``.
+    """
+    n = wh * ww
+    H = table.shape[1]
+    num_rel = (2 * wh - 1) * (2 * ww - 1)
+    t3 = table[:num_rel].reshape(2 * wh - 1, 2 * ww - 1, H)
+    dy = jnp.arange(wh)[:, None] - jnp.arange(wh)[None, :] + wh - 1
+    dx = jnp.arange(ww)[:, None] - jnp.arange(ww)[None, :] + ww - 1
+    g1 = jnp.take(t3, dy.reshape(-1), axis=0)            # [wh*wh, 2ww-1, H]
+    g2 = jnp.take(g1, dx.reshape(-1), axis=1)            # [wh*wh, ww*ww, H]
+    g2 = g2.reshape(wh, wh, ww, ww, H)                   # [yi, yj, xi, xj, H]
+    patch = g2.transpose(4, 0, 2, 1, 3).reshape(H, n, n)
+    # CLS specials (slots num_rel .. num_rel+2, matching
+    # _relative_position_index): cls->cls, cls->token, token->cls
+    cls_cls = jnp.broadcast_to(table[num_rel].reshape(H, 1, 1), (H, 1, 1))
+    cls_tok = jnp.broadcast_to(table[num_rel + 1].reshape(H, 1, 1),
+                               (H, 1, n))
+    tok_cls = jnp.broadcast_to(table[num_rel + 2].reshape(H, 1, 1),
+                               (H, n, 1))
+    top = jnp.concatenate([cls_cls, cls_tok], axis=2)    # [H, 1, N]
+    bottom = jnp.concatenate([tok_cls, patch], axis=2)   # [H, n, N]
+    return jnp.concatenate([top, bottom], axis=1)        # [H, N, N]
+
+
 def _fused_serving_mode() -> str:
     """'1' (on, TPU only), '0' (off), or 'interpret' (tests on CPU)."""
     import os
@@ -198,11 +231,15 @@ class Attention(nn.Module):
             # pair's [2N, N] bias tile stays VMEM-resident across the batch
             from dynamic_tuning_tpu.ops.mha_serving import mha_windowed_fused
 
-            idx, table_size = _relative_position_index(*self.window_size)
+            _, table_size = _relative_position_index(*self.window_size)
             table = self.param("relative_position_bias_table",
                                nn.initializers.zeros_init(),
                                (table_size, self.num_heads), jnp.float32)
-            bias = table[jnp.asarray(idx)].transpose(2, 0, 1)   # [H, N, N]
+            # build in bf16: the kernel takes the bias operand in bf16
+            # anyway, and halving the construction's copy traffic is worth
+            # ~0.4 ms/block at N=1025
+            bias = _rel_pos_bias_from_table(
+                table.astype(jnp.bfloat16), *self.window_size)
             out = mha_windowed_fused(qkv, bias, heads=self.num_heads,
                                      interpret=fused_mode == "interpret")
             out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_02,
@@ -220,12 +257,12 @@ class Attention(nn.Module):
                                    (((3,), (3,)), ((0, 1), (0, 1))),
                                    preferred_element_type=jnp.float32)
         if self.window_size is not None:
-            idx, table_size = _relative_position_index(*self.window_size)
+            _, table_size = _relative_position_index(*self.window_size)
             table = self.param("relative_position_bias_table",
                                nn.initializers.zeros_init(),
                                (table_size, self.num_heads), jnp.float32)
-            bias = table[jnp.asarray(idx)]                 # [N+1, N+1, H]
-            attn = attn + bias.transpose(2, 0, 1)[None]
+            attn = attn + _rel_pos_bias_from_table(
+                table, *self.window_size)[None]
         if deterministic and self.attn_drop == 0.0:
             # Serving form: softmax without the row-max pass + normalization
             # deferred past the AV matmul (over [N,D] instead of [N,N]).

@@ -297,7 +297,8 @@ def _mha_windowed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hd: int,
     lhs = jnp.concatenate([q0, qp - q0], axis=0)          # [2RC, 128]
     s = jax.lax.dot_general(lhs, kp, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s + jnp.concatenate([bias_ref[0, 0], bias_ref[0, 1]], axis=0)
+    s = s + jnp.concatenate([bias_ref[0, 0], bias_ref[0, 1]],
+                            axis=0).astype(jnp.float32)
     e = jnp.exp(jnp.clip(s, -60.0, 80.0) - 20.0)
     l = jnp.sum(e, axis=-1, keepdims=True)
     o_all = jax.lax.dot_general(e.astype(qp.dtype), vp,
@@ -336,11 +337,13 @@ def _mha_windowed_impl(qkv, bias, heads, interpret):
     assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
     P = heads // 2
     scale = hd ** -0.5
-    bias_pairs = bias.astype(jnp.float32).reshape(P, 2, N, N)
-    # row-chunk size: fp32 score tile 2*RC*N + bias tile 2*RC*N must fit the
+    # bias rides to the kernel in bf16 (half the HBM traffic of the hottest
+    # operand; upcast to fp32 at the score add — the q/k inputs are bf16
+    # anyway so the rounding is within the pipeline's noise floor)
+    bias_pairs = bias.astype(jnp.bfloat16).reshape(P, 2, N, N)
+    # row-chunk size: fp32 score tile 2*RC*N + bf16 bias tile must fit the
     # 16 MB scoped-VMEM budget alongside k/v; 384 rows ~ 6.3 MB at N=1025
-    # (bigger chunks = fewer redundant k/v DMAs; 512 OOMs with the revolving
-    # bias double-buffer)
+    # (bigger chunks = fewer redundant k/v DMAs)
     RC = min(N, 384)
     J = (N + RC - 1) // RC
     flops = 2 * 2 * B * heads * N * N * 2 * hd
@@ -368,7 +371,7 @@ def _mha_windowed_impl(qkv, bias, heads, interpret):
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=B * heads * N * N,
             bytes_accessed=(qkv.size + B * N * C) * qkv.dtype.itemsize
-            + bias_pairs.size * 4),
+            + bias_pairs.size * 2),
         interpret=interpret,
     )(qkv, qkv, qkv, bias_pairs)
 #

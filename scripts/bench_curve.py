@@ -19,8 +19,9 @@ def main():
     from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
     from dynamic_tuning_tpu.models.vit import VisionTransformer
 
+    quant = "int8" if "--quant" in sys.argv[1:] else "none"
     cfg = ModelConfig(num_classes=100, gelu_approx=True,
-                      residual_dtype="bfloat16")
+                      residual_dtype="bfloat16", quant=quant)
     x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, 224, 224, 3),
                           jnp.float32)
 

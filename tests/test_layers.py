@@ -162,3 +162,19 @@ def test_serving_softmax_finite_at_all_negative_scores():
                                 "bias": jnp.asarray(bias)}}
     out = attn.apply({"params": params}, x, deterministic=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rel_pos_bias_structured_equals_index_gather():
+    """_rel_pos_bias_from_table (Kronecker-structured build) must reproduce
+    table[_relative_position_index] exactly — it replaces the flat N^2-index
+    gather that dominated the seg forward."""
+    import numpy as np
+    from dynamic_tuning_tpu.models.layers import (_rel_pos_bias_from_table,
+                                                  _relative_position_index)
+
+    for wh, ww in ((4, 4), (3, 5)):
+        idx, ts = _relative_position_index(wh, ww)
+        table = jax.random.normal(jax.random.PRNGKey(0), (ts, 3))
+        want = np.asarray(table)[np.asarray(idx)].transpose(2, 0, 1)
+        got = np.asarray(_rel_pos_bias_from_table(table, wh, ww))
+        np.testing.assert_array_equal(got, want)

@@ -80,7 +80,24 @@ def test_windowed_kernel_matches_biased_softmax():
     want = (o / p.sum(-1, keepdims=True)).transpose(0, 2, 1, 3).reshape(B, N, C)
 
     got = mha_windowed_fused(qkv, bias, heads=H, interpret=True)
+    # the bias operand rides in bf16 (halves the hottest HBM operand of the
+    # seg forward); tolerance = bf16 resolution of O(1) bias values through
+    # the exp — within the bf16 q/k pipeline's own noise floor
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=1e-2)
+
+    # and the bf16-bias rounding is the ONLY deviation: an exactly
+    # bf16-representable bias reproduces the fp32 oracle to kernel precision
+    bias_bf = bias.astype(jnp.bfloat16).astype(jnp.float32)
+    s2 = jax.lax.dot_general(q * hd ** -0.5, k,
+                             (((3,), (3,)), ((0, 1), (0, 1))),
+                             preferred_element_type=jnp.float32) + bias_bf[None]
+    p2 = jnp.exp(jnp.clip(s2, -60.0, 80.0) - 20.0)
+    o2 = jax.lax.dot_general(p2, v, (((3,), (2,)), ((0, 1), (0, 1))))
+    want2 = (o2 / p2.sum(-1, keepdims=True)
+             ).transpose(0, 2, 1, 3).reshape(B, N, C)
+    got2 = mha_windowed_fused(qkv, bias_bf, heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-5, atol=2e-5)
 
 
