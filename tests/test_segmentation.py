@@ -98,3 +98,51 @@ def test_miou_accumulation():
     # class0: inter 3 / union 3; class1: 1/2; class2: 2/3
     expect = np.mean([1.0, 0.5, 2 / 3]) * 100
     assert abs(miou - expect) < 1e-6
+
+
+def test_conv_module_int8_parity_and_tree():
+    """ConvModule quant=int8: same param tree as the fp path, bounded
+    output drift (per-tensor activation scale x per-channel weights)."""
+    import numpy as np
+    from dynamic_tuning_tpu.models.upernet import ConvModule
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+    m_fp = ConvModule(64, 3, dtype=jnp.float32)
+    m_q8 = ConvModule(64, 3, quant="int8", dtype=jnp.float32)
+    p = m_fp.init(jax.random.PRNGKey(1), x)["params"]
+    p2 = m_q8.init(jax.random.PRNGKey(1), x)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(p2))
+    a = np.asarray(m_fp.apply({"params": p}, x))
+    b = np.asarray(m_q8.apply({"params": p}, x))
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.05, rel
+    # training path is the fp conv exactly
+    c = np.asarray(m_q8.apply({"params": p}, x, training=True))
+    d = np.asarray(m_fp.apply({"params": p}, x, training=True))
+    np.testing.assert_array_equal(c, d)
+
+
+def test_segmentor_int8_head_drift(monkeypatch):
+    import numpy as np
+    import dataclasses
+    from dynamic_tuning_tpu.models.upernet import DyTSegmentor
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    cfg = ModelConfig(img_size=64, patch_size=16, embed_dim=64, depth=4,
+                      num_heads=2, num_classes=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    m_fp = DyTSegmentor(cfg, num_classes=8,
+                        tuning=TuningConfig(ffn_num=8, d_model=64),
+                        select=SelectConfig(), dtype=jnp.float32)
+    m_q8 = DyTSegmentor(dataclasses.replace(cfg, quant="int8"), num_classes=8,
+                        tuning=TuningConfig(ffn_num=8, d_model=64),
+                        select=SelectConfig(), dtype=jnp.float32)
+    p = m_fp.init(jax.random.PRNGKey(1), x)["params"]
+    p2 = m_q8.init(jax.random.PRNGKey(1), x)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(p2))
+    a, _, _ = m_fp.apply({"params": p}, x)
+    b, _, _ = m_q8.apply({"params": p}, x)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9) < 0.1
