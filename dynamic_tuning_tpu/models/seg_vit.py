@@ -64,8 +64,10 @@ class SegVisionTransformer(nn.Module):
         B, H, W, _ = x.shape
         hp, wp = H // cfg.patch_size, W // cfg.patch_size
 
-        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
-                       name="patch_embed")(x.astype(self.dtype))
+        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, quant=cfg.quant,
+                       dtype=self.dtype,
+                       name="patch_embed")(x.astype(self.dtype),
+                                           training=training)
         x = x.astype(jnp.float32)
         cls = self.param("cls_token", nn.initializers.normal(stddev=1e-6),
                          (1, 1, cfg.embed_dim), jnp.float32)

@@ -144,8 +144,10 @@ class VideoVisionTransformer(nn.Module):
             x = xg.reshape(B * T, xg.shape[2], cfg.embed_dim)
         else:
             x = x.reshape(B * T, *x.shape[2:])      # fold time into batch
-            x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
-                           name="patch_embed")(x.astype(self.dtype))
+            x = PatchEmbed(cfg.patch_size, cfg.embed_dim, quant=cfg.quant,
+                           dtype=self.dtype,
+                           name="patch_embed")(x.astype(self.dtype),
+                                               training=training)
         x = x.astype(jnp.float32)
 
         if cfg.class_token:

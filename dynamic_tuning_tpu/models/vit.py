@@ -27,18 +27,59 @@ from dynamic_tuning_tpu.models.layers import Block, trunc_normal_02
 Dtype = Any
 
 
+class _ConvParams(nn.Module):
+    """Raw kernel/bias with nn.Conv's tree names and inits (int8 path)."""
+
+    kh: int
+    kw: int
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_02,
+                       (self.kh, self.kw, self.in_ch, self.out_ch),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,),
+                       jnp.float32)
+        return k, b
+
+
 class PatchEmbed(nn.Module):
     """16x16 non-overlapping conv patch embedding."""
 
     patch_size: int = 16
     embed_dim: int = 768
+    quant: str = "none"     # "int8"/"int8_attn": s8xs8 stem conv (serving)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
         p = self.patch_size
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-                    dtype=self.dtype, kernel_init=trunc_normal_02, name="proj")(x)
+        if self.quant in ("int8", "int8_attn") and not training:
+            # serving int8 stem: per-output-channel int8 weights x
+            # per-tensor int8 activations (normalized images are tightly
+            # bounded, so a single activation scale loses nothing; the
+            # non-overlapping windows would even permit per-patch scales)
+            w, b = _ConvParams(p, p, x.shape[-1], self.embed_dim,
+                               name="proj")()
+            wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+            wq = jnp.clip(jnp.round(w * jnp.where(
+                wmax > 0, 127.0 / wmax, 0.0)), -127, 127).astype(jnp.int8)
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf))
+            xq = jnp.clip(jnp.round(xf * jnp.where(
+                amax > 0, 127.0 / amax, 0.0)), -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, (p, p), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            x = (acc.astype(jnp.float32) * ((amax / 127.0) * (wmax / 127.0))
+                 + b).astype(self.dtype)
+        else:
+            x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
+                        padding="VALID", dtype=self.dtype,
+                        kernel_init=trunc_normal_02, name="proj")(x)
         B, H, W, C = x.shape
         return x.reshape(B, H * W, C)
 
@@ -58,8 +99,10 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         B = x.shape[0]
 
-        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=self.dtype,
-                       name="patch_embed")(x.astype(self.dtype))
+        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, quant=cfg.quant,
+                       dtype=self.dtype,
+                       name="patch_embed")(x.astype(self.dtype),
+                                           training=training)
         x = x.astype(jnp.float32)
 
         if cfg.class_token:
