@@ -9,7 +9,6 @@ slide eval crop 512 / stride 341, mIoU every 16k iters.
 import argparse
 
 from dynamic_tuning_tpu.cli import add_common_args, args_to_config
-from dynamic_tuning_tpu.config import ModelConfig
 from dynamic_tuning_tpu.train.seg_runner import SegRunner
 
 
@@ -31,8 +30,11 @@ def main(args):
     from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
     maybe_initialize_distributed()
     cfg = args_to_config(args)
-    cfg = cfg.replace(model=ModelConfig(img_size=args.crop_size,
-                                        drop_path_rate=args.drop_path))
+    # extend (not rebuild) the CLI-derived ModelConfig so gelu_approx /
+    # residual_dtype / remat / quant reach the seg path too
+    import dataclasses
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, img_size=args.crop_size, drop_path_rate=args.drop_path))
     runner = SegRunner(cfg, total_iters=args.total_iters,
                        eval_interval=args.eval_interval,
                        crop=args.crop_size, slide_stride=args.slide_stride,

@@ -42,3 +42,27 @@ def test_seg_defaults_keep_reference_wd():
     # reference seg config: AdamW weight_decay 0.05
     # (configs/beit/upernet/our_vit.py)
     assert cfg.optim.weight_decay == 0.05
+
+
+def test_seg_train_forwards_model_knobs(monkeypatch):
+    """seg_train extends (not rebuilds) the CLI ModelConfig: quant /
+    gelu_approx / residual_dtype must survive into the runner config."""
+    import seg_train as st
+
+    captured = {}
+
+    class FakeRunner:
+        def __init__(self, cfg, **kw):
+            captured["cfg"] = cfg
+
+        def run(self):
+            return {}
+
+    monkeypatch.setattr(st, "SegRunner", FakeRunner)
+    args = st.get_args_parser().parse_args(
+        ["--quant", "int8", "--gelu_approx", "--residual_dtype", "bfloat16",
+         "--crop_size", "128"])
+    st.main(args)
+    m = captured["cfg"].model
+    assert m.quant == "int8" and m.gelu_approx and \
+        m.residual_dtype == "bfloat16" and m.img_size == 128
