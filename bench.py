@@ -118,6 +118,34 @@ def main():
     except Exception:
         pass  # int8 serving is an extra: never fail the headline bench
 
+    # chip-health probe: the tunneled chip is sometimes externally
+    # throttled (observed 0.2 vs 182 TFLOPS); vs_baseline is same-run
+    # interleaved so the RATIO survives, but absolute img/s doesn't —
+    # record the ambient matmul rate so low absolutes are interpretable
+    health = {}
+    try:
+        a = jax.random.normal(rng, (2048, 2048), jnp.bfloat16)
+
+        def mm_many(iters):
+            @jax.jit
+            def f(aa):
+                def body(c, _):
+                    return ((aa + c * 1e-12) @ aa).astype(
+                        jnp.float32).sum(), None
+                out, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                      length=iters)
+                return out
+            _ = float(f(a))
+            t0 = time.perf_counter()
+            _ = float(f(a))
+            return time.perf_counter() - t0
+
+        # two scan lengths difference away the tunnel RTT
+        dt = (mm_many(65) - mm_many(5)) / 60
+        health = {"chip_bf16_tflops": round(2 * 2048 ** 3 / dt / 1e12, 1)}
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",
         "value": round(dyt_ips, 2),
@@ -125,6 +153,7 @@ def main():
         "vs_baseline": round(dyt_ips / dense_ips, 4),
         "baseline_dense_ips": round(dense_ips, 2),
         **q8,
+        **health,
     }))
 
 
