@@ -208,8 +208,6 @@ class VideoDataset:
                        short_side: int) -> np.ndarray:
         """Decode frames with short side resized to ``short_side``, aspect
         kept (no crop) — feeds the real spatial multi-crop eval."""
-        import cv2
-
         want = sorted(set(int(i) for i in indices))
         raw = _READERS[self.backend](os.path.join(self.root, path), want)
         frames = {}
@@ -219,9 +217,9 @@ class VideoDataset:
             if frame is not None:
                 h, w = frame.shape[:2]
                 scale = short_side / min(h, w)
-                frame = cv2.resize(frame, (max(int(round(w * scale)), short_side),
-                                           max(int(round(h * scale)), short_side)),
-                                   interpolation=cv2.INTER_LINEAR)
+                frame = _bilinear_resize(
+                    frame, max(int(round(w * scale)), short_side),
+                    max(int(round(h * scale)), short_side))
                 shape = frame.shape
             frames[i] = frame
         if shape is None:
@@ -236,6 +234,10 @@ class VideoDataset:
         """Reference eval spatial sampling (video_datasets/k400.py:281-300):
         1 crop -> center; 3 crops -> offsets (0, margin//2, margin) along the
         long axis of short-side-resized frames."""
+        if num_crops not in (1, 3):
+            raise ValueError(
+                f"test_num_crop must be 1 or 3 (reference protocols), got "
+                f"{num_crops}")
         h, w = frames.shape[1:3]
         if num_crops == 1:
             ht, wt = (h - size) // 2, (w - size) // 2
@@ -301,14 +303,27 @@ class VideoDataset:
         return np.stack(views), label
 
 
+def _bilinear_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """uint8 HWC bilinear resize; cv2 when present, PIL otherwise so the
+    aspect path works on installs whose decode backend isn't cv2 (the
+    backend-fallback design must not reintroduce a hard cv2 dependency)."""
+    try:
+        import cv2
+
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                      Image.BILINEAR))
+
+
 def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
     """Resize short side to ``target`` then center-crop to a square canvas."""
-    import cv2
-
     h, w = img.shape[:2]
     scale = target / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    img = _bilinear_resize(img, nw, nh)
     top = (nh - target) // 2
     left = (nw - target) // 2
     return img[top:top + target, left:left + target]

@@ -69,7 +69,8 @@ class ConvModule(nn.Module):
             wq = jnp.clip(jnp.round(w * jnp.where(
                 wmax > 0, 127.0 / wmax, 0.0)), -127, 127).astype(jnp.int8)
             xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf))
+            # per-sample amax (window-constant, batch-invariant, shard-local)
+            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
             xscale = amax / 127.0
             xq = jnp.clip(jnp.round(xf * jnp.where(
                 amax > 0, 127.0 / amax, 0.0)), -127, 127).astype(jnp.int8)

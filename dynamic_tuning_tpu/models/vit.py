@@ -67,7 +67,10 @@ class PatchEmbed(nn.Module):
             wq = jnp.clip(jnp.round(w * jnp.where(
                 wmax > 0, 127.0 / wmax, 0.0)), -127, 127).astype(jnp.int8)
             xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf))
+            # per-sample amax: keeps serving logits batch-invariant and the
+            # quantization shard-local under a data-sharded mesh (a whole-
+            # batch max would couple samples and insert an all-reduce here)
+            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
             xq = jnp.clip(jnp.round(xf * jnp.where(
                 amax > 0, 127.0 / amax, 0.0)), -127, 127).astype(jnp.int8)
             acc = jax.lax.conv_general_dilated(

@@ -266,11 +266,18 @@ _ORBAX_MANAGERS: Dict[str, object] = {}
 def _orbax_manager(output_dir: str, max_to_keep: Optional[int]):
     import orbax.checkpoint as ocp
 
-    key = os.path.abspath(output_dir)
+    root = os.path.abspath(output_dir)
+    # Key on the retention policy too: a manager created by a resume-time
+    # load (max_to_keep=None) must not silently disable auto_remove pruning
+    # for later saves into the same directory.
+    key = (root, max_to_keep)
     if key not in _ORBAX_MANAGERS:
+        stale = [k for k in _ORBAX_MANAGERS if k[0] == root and k != key]
+        for k in stale:  # one live manager per dir: drain then drop the other
+            _ORBAX_MANAGERS.pop(k).wait_until_finished()
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, enable_async_checkpointing=True)
-        _ORBAX_MANAGERS[key] = ocp.CheckpointManager(key, options=options)
+        _ORBAX_MANAGERS[key] = ocp.CheckpointManager(root, options=options)
     return _ORBAX_MANAGERS[key]
 
 

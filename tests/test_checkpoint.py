@@ -198,3 +198,29 @@ def test_orbax_roundtrip(tmp_path):
     C.wait_for_async_saves()
     restored2, epoch2, _ = C.load_checkpoint_orbax(out, zero)
     assert epoch2 == 4
+
+
+def test_orbax_resume_then_auto_remove_prunes(tmp_path):
+    """Regression (round-2 advisor): a resume-time load creates the manager
+    with max_to_keep=None; subsequent auto_remove saves into the same dir
+    must still prune instead of silently reusing the unlimited manager."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dynamic_tuning_tpu.train import checkpoint as C
+    from dynamic_tuning_tpu.train.engine import create_train_state
+
+    tr = {("a", "w"): jnp.arange(4.0)}
+    tx = optax.adamw(1e-3)
+    state = create_train_state(tr, {}, tx, jax.random.PRNGKey(0))
+    out = str(tmp_path / "orbax")
+    C.save_checkpoint_orbax(out, state, epoch=1)
+    C.wait_for_async_saves()
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    C.load_checkpoint_orbax(out, zero)  # caches a max_to_keep=None manager
+    C.save_checkpoint_orbax(out, state, epoch=2, auto_remove=True)
+    C.save_checkpoint_orbax(out, state, epoch=3, auto_remove=True)
+    C.wait_for_async_saves()
+    mgr = C._orbax_manager(out, 1)
+    assert sorted(mgr.all_steps()) == [3], mgr.all_steps()
