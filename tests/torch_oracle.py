@@ -100,7 +100,7 @@ class TorchDyTTrainer:
         self.p = {}
         trainable = []
         for path, v in flat_params.items():
-            t = torch.from_numpy(np.asarray(v, np.float32)).clone()
+            t = torch.from_numpy(np.array(v, np.float32, copy=True))
             # reference freeze rule: adapters + routers + head train
             if any(k in path for k in ("adaptmlp", "mlp_token_select")) \
                     or path[0] == "head":
