@@ -121,7 +121,12 @@ def main():
     # chip-health probe: the tunneled chip is sometimes externally
     # throttled (observed 0.2 vs 182 TFLOPS); vs_baseline is same-run
     # interleaved so the RATIO survives, but absolute img/s doesn't —
-    # record the ambient matmul rate so low absolutes are interpretable
+    # record the ambient matmul rate so low absolutes are interpretable.
+    # The scan lengths are >=1000 apart so the differenced device time
+    # (~94 ms healthy) dwarfs the tunnel's ~25 ms drifting RTT; best-of-3
+    # each side, and implausible (non-positive) differences are reported as
+    # null rather than a nonsense negative TFLOPS (round-2 BENCH_r02.json
+    # recorded -134.2 from a 60-iter spread below RTT noise).
     health = {}
     try:
         a = jax.random.normal(rng, (2048, 2048), jnp.bfloat16)
@@ -135,16 +140,80 @@ def main():
                 out, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=iters)
                 return out
-            _ = float(f(a))
-            t0 = time.perf_counter()
-            _ = float(f(a))
-            return time.perf_counter() - t0
 
-        # two scan lengths difference away the tunnel RTT
-        dt = (mm_many(65) - mm_many(5)) / 60
-        health = {"chip_bf16_tflops": round(2 * 2048 ** 3 / dt / 1e12, 1)}
+            _ = float(f(a))          # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = float(f(a))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_small = mm_many(5)         # ~RTT + 5 matmuls
+        t_big = mm_many(1005)        # ~RTT + 1005 matmuls
+        dt = (t_big - t_small) / 1000
+        tflops = 2 * 2048 ** 3 / dt / 1e12 if dt > 0 else None
+        health = {
+            "chip_bf16_tflops": round(tflops, 1) if tflops else None,
+            "probe_rtt_ms_est": round(t_small * 1e3, 1),
+        }
     except Exception:
         pass
+
+    # train-path throughput (VERDICT r2: the train side was asserted, not
+    # measured).  The full train step (student+teacher fwd, 4-term loss,
+    # backward, AdamW) is rolled into one lax.scan program so the number is
+    # pure device time; MFU is achieved-TFLOPS over the ambient matmul rate
+    # the health probe just measured (self-calibrating against throttling).
+    trn = {}
+    try:
+        from dynamic_tuning_tpu.train.engine import (create_train_state,
+                                                     make_train_step,
+                                                     model_apply_fn)
+        from dynamic_tuning_tpu.train.optim import (make_optimizer,
+                                                    partition_params)
+
+        TB, TSTEPS = 64, 8
+        tmodel = VisionTransformer(ModelConfig(num_classes=100),
+                                   tuning=TuningConfig(), select=sel,
+                                   dtype=jnp.bfloat16)
+        xt = jax.random.normal(rng, (TB, 224, 224, 3), jnp.float32)
+        yt = jnp.zeros((TB,), jnp.int32)
+        tparams = tmodel.init(jax.random.PRNGKey(1), xt[:2])["params"]
+        tr, fr = partition_params(tparams)
+        tx = make_optimizer(1e-3, steps_per_epoch=100)
+        tstate = create_train_state(tr, fr, tx, jax.random.PRNGKey(2))
+        base_step = make_train_step(model_apply_fn(tmodel), tx, sel)
+
+        @jax.jit
+        def steps_scan(st, xx, yy):
+            def body(s, _):
+                s2, parts = base_step(s, xx, yy)
+                return s2, parts["loss"]
+            _, ls = jax.lax.scan(body, st, None, length=TSTEPS)
+            return ls.sum()
+
+        _ = float(steps_scan(tstate, xt, yt))    # compile + warm
+        t_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(steps_scan(tstate, xt, yt))
+            t_best = min(t_best, time.perf_counter() - t0)
+        step_s = t_best / TSTEPS
+        trn = {"train_img_s": round(TB * TSTEPS / t_best, 1),
+               "train_ms_per_step": round(step_s * 1e3, 2)}
+        try:
+            fl = steps_scan.lower(tstate, xt, yt).compile().cost_analysis()
+            fl = fl[0] if isinstance(fl, (list, tuple)) else fl
+            step_tflops = fl["flops"] / TSTEPS / step_s / 1e12
+            trn["train_tflops"] = round(step_tflops, 1)
+            if health.get("chip_bf16_tflops"):
+                trn["train_mfu_vs_ambient"] = round(
+                    step_tflops / health["chip_bf16_tflops"], 3)
+        except Exception:
+            pass
+    except Exception:
+        pass  # train bench is an extra: never fail the headline
 
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",
@@ -154,6 +223,7 @@ def main():
         "baseline_dense_ips": round(dense_ips, 2),
         **q8,
         **health,
+        **trn,
     }))
 
 

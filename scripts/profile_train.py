@@ -1,5 +1,16 @@
-"""Full DyT train-step throughput on TPU (student+teacher fwd, 4-term loss,
-backward, AdamW) at ViT-B scale."""
+"""Train-path measurement matrix on the real chip (BENCH.md round-3 train
+table): full DyT train step (student+teacher fwd, 4-term loss, backward,
+AdamW) at ViT-B/224, batch {64,128,256} x remat {off,on}, plus a
+student/teacher/backward share breakdown at batch 64.
+
+Timing is scan-rolled (TSTEPS steps inside one jitted program) so numbers
+are pure device time — no tunnel RTT, no per-step dispatch.  MFU is
+achieved TFLOPS (XLA cost_analysis) over the ambient matmul rate measured
+in the same session, so external HBM/clock throttling shows up as a low
+ambient rather than silently poisoning the MFU.
+
+Usage: python scripts/profile_train.py [--quick]
+"""
 
 import json
 import os
@@ -17,37 +28,121 @@ from dynamic_tuning_tpu.train.engine import (create_train_state,
                                              make_train_step, model_apply_fn)
 from dynamic_tuning_tpu.train.optim import make_optimizer, partition_params
 
-B = 64
-STEPS = 20
+TSTEPS = 8
+REPEATS = 3
 
 
-def main():
-    cfg = ModelConfig(num_classes=100)
-    sel = SelectConfig()
-    model = VisionTransformer(cfg, tuning=TuningConfig(), select=sel,
-                              dtype=jnp.bfloat16)
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3))
-    y = jnp.zeros((B,), jnp.int32)
+def ambient_tflops():
+    """Best-of-3 matmul rate with a 1000-iter scan spread (RTT-immune)."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
+
+    def mm_many(iters):
+        @jax.jit
+        def f(aa):
+            def body(c, _):
+                return ((aa + c * 1e-12) @ aa).astype(jnp.float32).sum(), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return out
+
+        _ = float(f(a))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(f(a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (mm_many(1005) - mm_many(5)) / 1000
+    return 2 * 2048 ** 3 / dt / 1e12 if dt > 0 else float("nan")
+
+
+def time_scan_steps(model, sel, batch, tsteps=TSTEPS):
+    """(seconds/step, flops/step) for the full train step at this batch."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3))
+    y = jnp.zeros((batch,), jnp.int32)
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
     tr, fr = partition_params(params)
     tx = make_optimizer(1e-3, steps_per_epoch=100)
     state = create_train_state(tr, fr, tx, jax.random.PRNGKey(2))
-    step = jax.jit(make_train_step(model_apply_fn(model), tx, sel),
-                   donate_argnums=(0,))
+    base_step = make_train_step(model_apply_fn(model), tx, sel)
 
-    # two warm steps: the first donated-buffer dispatch triggers a second
-    # (slow, remote) compile on the tunneled chip
-    for _ in range(2):
-        state, parts = step(state, x, y)
-        jax.block_until_ready(parts["loss"])
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, parts = step(state, x, y)
-    _ = float(parts["loss"])
-    dt = time.perf_counter() - t0
-    print(json.dumps({"train_img_s": round(B * STEPS / dt, 1),
-                      "ms_per_step": round(dt / STEPS * 1e3, 2),
-                      "batch": B, "loss": float(parts["loss"])}))
+    @jax.jit
+    def steps_scan(st, xx, yy):
+        def body(s, _):
+            s2, parts = base_step(s, xx, yy)
+            return s2, parts["loss"]
+        _, ls = jax.lax.scan(body, st, None, length=tsteps)
+        return ls.sum()
+
+    _ = float(steps_scan(state, x, y))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _ = float(steps_scan(state, x, y))
+        best = min(best, time.perf_counter() - t0)
+    flops = None
+    try:
+        ca = steps_scan.lower(state, x, y).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca["flops"] / tsteps
+    except Exception:
+        pass
+    return best / tsteps, flops
+
+
+def forward_times(model, sel, batch):
+    """Device time of the student fwd (train mode) and teacher fwd alone."""
+    from scripts.bench_util import device_time
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
+    rngs = {"gate": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+
+    def student(xx):
+        logits, aux = model.apply({"params": params}, xx, training=True,
+                                  rngs=rngs)
+        return logits.sum() + aux["token_select"].sum()
+
+    def teacher(xx):
+        logits, _ = model.apply({"params": params}, xx, training=True,
+                                complete_model=True, rngs=rngs)
+        return logits.sum()
+
+    return device_time(student, x), device_time(teacher, x)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    amb = ambient_tflops()
+    print(f"ambient bf16 matmul: {amb:.1f} TFLOPS", flush=True)
+    sel = SelectConfig()
+    rows = []
+    for batch in ([64] if quick else [64, 128, 256]):
+        for remat in ([False] if quick else [False, True]):
+            cfg = ModelConfig(num_classes=100, remat=remat)
+            model = VisionTransformer(cfg, tuning=TuningConfig(), select=sel,
+                                      dtype=jnp.bfloat16)
+            s, flops = time_scan_steps(model, sel, batch)
+            row = {"batch": batch, "remat": remat,
+                   "ms_per_step": round(s * 1e3, 2),
+                   "img_s": round(batch / s, 1)}
+            if flops:
+                row["tflops"] = round(flops / s / 1e12, 1)
+                row["mfu_vs_ambient"] = round(flops / s / 1e12 / amb, 3)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    cfg = ModelConfig(num_classes=100)
+    model = VisionTransformer(cfg, tuning=TuningConfig(), select=sel,
+                              dtype=jnp.bfloat16)
+    ts, tt = forward_times(model, sel, 64)
+    full = next(r for r in rows if r["batch"] == 64 and not r["remat"])
+    bwd = full["ms_per_step"] / 1e3 - ts - tt
+    print(json.dumps({"breakdown_batch64_ms": {
+        "student_fwd": round(ts * 1e3, 2), "teacher_fwd": round(tt * 1e3, 2),
+        "bwd_plus_opt": round(bwd * 1e3, 2),
+        "step": full["ms_per_step"]}, "ambient_tflops": round(amb, 1)},
+        flush=True)
 
 
 if __name__ == "__main__":
