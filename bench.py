@@ -203,10 +203,17 @@ def main():
         trn = {"train_img_s": round(TB * TSTEPS / t_best, 1),
                "train_ms_per_step": round(step_s * 1e3, 2)}
         try:
-            fl = steps_scan.lower(tstate, xt, yt).compile().cost_analysis()
-            fl = fl[0] if isinstance(fl, (list, tuple)) else fl
-            step_tflops = fl["flops"] / TSTEPS / step_s / 1e12
-            trn["train_tflops"] = round(step_tflops, 1)
+            # analytic train FLOPs (student+teacher fwd + their dx backward
+            # chains; dW only for the ~1.2M trainable params) ~= 4x the
+            # dense eval forward.  XLA cost_analysis is NOT used: it counts
+            # a scan body once and its flop model overcounts vs the pinned
+            # analytic constants (ops/flops.py vs reference 17.6G).
+            from dynamic_tuning_tpu.ops.flops import dense_vit_flops
+            # dense_vit_flops is GFLOPs in the fvcore 1-MAC=1-FLOP
+            # convention; x2 converts MACs to hardware mul+add FLOPs
+            step_tflops = (4.0 * 2.0 * dense_vit_flops() * 1e9 * TB
+                           / step_s / 1e12)
+            trn["train_tflops_analytic"] = round(step_tflops, 1)
             if health.get("chip_bf16_tflops"):
                 trn["train_mfu_vs_ambient"] = round(
                     step_tflops / health["chip_bf16_tflops"], 3)

@@ -205,6 +205,12 @@ class DyTSegmentor(nn.Module):
     out_indices: Optional[Tuple[int, ...]] = None
     use_rel_pos_bias: bool = True
     norm: str = "gn"   # "bn" = SyncBN parity (global batch stats under jit)
+    # Opt-in DEVIATION from the reference head config (our_vit.py uses
+    # channels=768): a narrower UPerHead working width.  The head is
+    # flop-bound (BENCH.md: the 3x3 3072->768 fpn_bottleneck alone is
+    # 21.7 ms/crop) and head flops scale ~C^2, so 256 cuts head cost ~9x.
+    # None = reference parity (embed_dim).
+    head_channels: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -217,7 +223,8 @@ class DyTSegmentor(nn.Module):
             use_rel_pos_bias=self.use_rel_pos_bias, dtype=self.dtype,
             name="backbone")(x, training=training,
                              complete_model=complete_model, dispatch=dispatch)
-        logits = UPerHead(self.num_classes, channels=self.cfg.embed_dim,
+        logits = UPerHead(self.num_classes,
+                          channels=self.head_channels or self.cfg.embed_dim,
                           norm=self.norm, quant=self.cfg.quant,
                           dtype=self.dtype,
                           name="decode_head")(feats, training=training)

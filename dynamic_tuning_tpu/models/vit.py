@@ -163,6 +163,21 @@ class VisionTransformer(nn.Module):
         return logits, dict(token_select=token_select, token_logits=token_logits)
 
 
+def with_tau(model, tau: float):
+    """Gate-temperature scheduling hook (reference ``set_tau``,
+    models/dynamic_adapter.py:67 — vestigial there: the mains never call
+    it).  Functional-JAX analogue of mutating module state: returns a clone
+    of the model whose routers sample at the new temperature.  Changing tau
+    mid-run triggers one re-jit of the train step — the TPU-native cost of
+    a schedule knob that is static inside the compiled program.
+
+    Works for any DyT model carrying a ``select`` config (image, video,
+    segmentation backbones)."""
+    import dataclasses
+
+    return model.clone(select=dataclasses.replace(model.select, tau=tau))
+
+
 def vit_base_patch16_224_in21k(num_classes: int = 1000,
                                tuning: TuningConfig = TuningConfig(),
                                select: SelectConfig = SelectConfig(),

@@ -62,9 +62,11 @@ def seg_trainable_predicate(path):
 class SegRunner:
     def __init__(self, cfg: RunConfig, *, total_iters: int = 160_000,
                  eval_interval: int = 16_000, crop: int = 512,
-                 slide_stride: int = 341, norm: str = "gn"):
+                 slide_stride: int = 341, norm: str = "gn",
+                 head_channels: int = 0):
         self.cfg = cfg
         self.norm = norm
+        self.head_channels = head_channels or None
         self.total_iters = total_iters
         self.eval_interval = eval_interval
         self.crop = crop
@@ -84,7 +86,8 @@ class SegRunner:
 
         self.model = DyTSegmentor(cfg.model, num_classes=nc,
                                   tuning=cfg.tuning, select=cfg.select,
-                                  norm=norm, dtype=self.dtype)
+                                  norm=norm, head_channels=self.head_channels,
+                                  dtype=self.dtype)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, crop, crop, 3))
         variables = self.model.init(rng, sample)

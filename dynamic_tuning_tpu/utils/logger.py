@@ -36,18 +36,26 @@ def create_logger(output_dir: str = "", dist_rank: int = 0,
 
 
 class TensorBoardWriter:
-    """Minimal scalar logger writing TSV (tensorboard isn't baked into this
-    image).  Mirrors the reference's rank-0 SummaryWriter usage
-    (engine_finetune.py:95-101) with the same epoch_1000x axis convention."""
+    """Scalar logger mirroring the reference's rank-0 SummaryWriter usage
+    (engine_finetune.py:95-101) with the same epoch_1000x axis convention.
+
+    Writes BOTH a grep-friendly ``scalars.tsv`` and a real TensorBoard
+    ``events.out.tfevents.*`` file (utils/tb_writer.py hand-encodes the
+    protobuf — no tensorflow/tensorboard dependency), so runs are loadable
+    in stock TensorBoard exactly like the reference's."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "scalars.tsv")
         self._fh = open(self.path, "a")
+        from dynamic_tuning_tpu.utils.tb_writer import EventFileWriter
+        self._events = EventFileWriter(log_dir)
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._fh.write(f"{tag}\t{step}\t{value}\n")
         self._fh.flush()
+        self._events.add_scalar(tag, value, step)
 
     def close(self):
         self._fh.close()
+        self._events.close()

@@ -16,12 +16,12 @@ from dynamic_tuning_tpu.models.upernet import DyTSegmentor
 B, ITERS, REPEATS = 4, 8, 4
 
 
-def bench(quant):
+def bench(quant, head_channels=None):
     cfg = ModelConfig(img_size=512, num_classes=0, gelu_approx=True,
                       residual_dtype="bfloat16", quant=quant)
     m = DyTSegmentor(cfg, num_classes=150, tuning=TuningConfig(),
                      select=SelectConfig(token_target_ratio=0.5),
-                     dtype=jnp.bfloat16)
+                     head_channels=head_channels, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, 512, 512, 3),
                           jnp.float32)
     p = m.init(jax.random.PRNGKey(1), x[:1])["params"]
@@ -48,4 +48,12 @@ if __name__ == "__main__":
     bf16 = bench("none")
     q8 = bench("int8")
     print(f"segmentor 512^2 crops/s: bf16 {bf16:.1f}  int8 {q8:.1f} "
-          f"({q8 / bf16:.2f}x)")
+          f"({q8 / bf16:.2f}x)", flush=True)
+    if "--head256" in sys.argv:
+        # opt-in narrow head (--seg_head_channels 256): deviation from the
+        # reference our_vit.py channels=768 config
+        h256 = bench("none", head_channels=256)
+        h256q = bench("int8", head_channels=256)
+        print(f"segmentor head256 crops/s: bf16 {h256:.1f} "
+              f"({h256 / bf16:.2f}x vs ref head)  int8 {h256q:.1f}",
+              flush=True)

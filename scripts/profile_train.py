@@ -84,31 +84,38 @@ def time_scan_steps(model, sel, batch, tsteps=TSTEPS):
     try:
         ca = steps_scan.lower(state, x, y).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = ca["flops"] / tsteps
+        # XLA cost_analysis counts a while-loop body ONCE (verified on CPU:
+        # scan length 2 and 8 report identical flops), so the program total
+        # IS the per-step count
+        flops = ca["flops"]
     except Exception:
         pass
     return best / tsteps, flops
 
 
 def forward_times(model, sel, batch):
-    """Device time of the student fwd (train mode) and teacher fwd alone."""
+    """Device time of the student fwd (train mode) and teacher fwd alone.
+
+    Params are passed as a scan-carried ARGUMENT, not a closure — a closed-
+    over ViT-B param tree becomes 344 MB of embedded HLO constants and blows
+    the remote-compile request limit (observed HTTP 413)."""
     from scripts.bench_util import device_time
 
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3))
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
     rngs = {"gate": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
 
-    def student(xx):
-        logits, aux = model.apply({"params": params}, xx, training=True,
+    def student(xx, p):
+        logits, aux = model.apply({"params": p}, xx, training=True,
                                   rngs=rngs)
         return logits.sum() + aux["token_select"].sum()
 
-    def teacher(xx):
-        logits, _ = model.apply({"params": params}, xx, training=True,
+    def teacher(xx, p):
+        logits, _ = model.apply({"params": p}, xx, training=True,
                                 complete_model=True, rngs=rngs)
         return logits.sum()
 
-    return device_time(student, x), device_time(teacher, x)
+    return device_time(student, x, params), device_time(teacher, x, params)
 
 
 def main():
@@ -126,9 +133,16 @@ def main():
             row = {"batch": batch, "remat": remat,
                    "ms_per_step": round(s * 1e3, 2),
                    "img_s": round(batch / s, 1)}
+            # analytic train FLOPs: student fwd + teacher fwd + their dx
+            # backward chains (dW only touches the ~1.2M trainable params)
+            # ~= 4x the dense eval forward (ops/flops.py, pinned vs 17.6G)
+            from dynamic_tuning_tpu.ops.flops import dense_vit_flops
+            # GFLOPs in 1-MAC=1-FLOP convention -> x1e9 x2 for hardware FLOPs
+            analytic = 4.0 * 2.0 * dense_vit_flops() * 1e9 * batch
+            row["tflops_analytic"] = round(analytic / s / 1e12, 1)
+            row["mfu_vs_ambient"] = round(analytic / s / 1e12 / amb, 3)
             if flops:
-                row["tflops"] = round(flops / s / 1e12, 1)
-                row["mfu_vs_ambient"] = round(flops / s / 1e12 / amb, 3)
+                row["tflops_xla_count"] = round(flops / s / 1e12, 1)
             rows.append(row)
             print(json.dumps(row), flush=True)
 
@@ -141,7 +155,7 @@ def main():
     print(json.dumps({"breakdown_batch64_ms": {
         "student_fwd": round(ts * 1e3, 2), "teacher_fwd": round(tt * 1e3, 2),
         "bwd_plus_opt": round(bwd * 1e3, 2),
-        "step": full["ms_per_step"]}, "ambient_tflops": round(amb, 1)},
+        "step": full["ms_per_step"]}, "ambient_tflops": round(amb, 1)}),
         flush=True)
 
 

@@ -1,13 +1,21 @@
 """DyT learning-dynamics validation (CPU-friendly).
 
-Trains a small DyT ViT on a synthetic-but-learnable task and checks the
-paper's core behaviors:
+Single-case mode (default) trains a small DyT ViT on a synthetic-but-
+learnable task and checks the paper's core behaviors:
   * the budget loss pulls the train keep-rate to token_target_ratio;
   * the eval (sigmoid>0.5) keep-rate tracks the target;
   * capacity-dispatch eval accuracy matches mask eval accuracy;
   * classification loss decreases under distillation.
 
-Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 python scripts/validate_dynamics.py
+Matrix mode (--matrix) is the capacity-vs-threshold equivalence sweep
+(SURVEY §7 hard part 1; the strongest sandbox stand-in for the VTAB
+accuracy half of the north star): ratios {0.3,0.5,0.7,0.9} x capacity
+{exact, +10%} x modality {image, video, seg-backbone}, asserting keep-rate
+convergence (|keep - target| < 0.1) and mask-vs-dispatch holdout agreement
+<= 2% absolute.  Results table lands in BENCH.md.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+         python scripts/validate_dynamics.py [--matrix]
 """
 
 import json
@@ -27,6 +35,8 @@ if os.environ.get("DYT_VALIDATE_BACKEND", "cpu") == "cpu":
     except RuntimeError:
         pass
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +46,9 @@ from dynamic_tuning_tpu.train.engine import (create_train_state,
                                              make_eval_step, make_train_step,
                                              model_apply_fn)
 from dynamic_tuning_tpu.train.optim import make_optimizer, partition_params
+
+RATIOS = (0.3, 0.5, 0.7, 0.9)
+HOLDOUT = 64
 
 
 def make_task(n=256, size=32, classes=10, seed=0):
@@ -48,51 +61,225 @@ def make_task(n=256, size=32, classes=10, seed=0):
     return jnp.asarray(x, jnp.float32), jnp.asarray(labels)
 
 
-def main(target=0.4, steps=300):
-    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
-                      depth=4, num_heads=4)
-    sel = SelectConfig(token_target_ratio=target)
-    model = VisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
-                              select=sel, dtype=jnp.float32)
-    x, y = make_task()
+def make_seg_task(n=192, size=32, seed=0):
+    """Per-patch binary segmentation: texture-A canvas with a texture-B
+    rectangle; labels on the 8x8-patch grid."""
+    rs = np.random.RandomState(seed)
+    texa = rs.randint(0, 256, (size, size, 3)).astype(np.float32)
+    texb = rs.randint(0, 256, (size, size, 3)).astype(np.float32)
+    xs, ys = [], []
+    for _ in range(n):
+        img = texa.copy()
+        lab = np.zeros((size, size), np.int32)
+        h0, w0 = rs.randint(0, size // 2, 2)
+        h1 = h0 + rs.randint(size // 4, size // 2)
+        w1 = w0 + rs.randint(size // 4, size // 2)
+        img[h0:h1, w0:w1] = texb[h0:h1, w0:w1]
+        lab[h0:h1, w0:w1] = 1
+        img = img + rs.randn(size, size, 3) * 20
+        # patch-grid labels (majority over each 8x8 patch)
+        pg = lab.reshape(size // 8, 8, size // 8, 8).mean((1, 3)) > 0.5
+        xs.append(np.clip(img, 0, 255) / 127.5 - 1.0)
+        ys.append(pg.astype(np.int32))
+    return (jnp.asarray(np.stack(xs), jnp.float32),
+            jnp.asarray(np.stack(ys)))
+
+
+def _train(model, sel, x, y, steps, lr=5e-3, batch=64):
     params = model.init(jax.random.PRNGKey(0), x[:2])["params"]
     tr, fr = partition_params(params)
-    tx = make_optimizer(5e-3, warmup_epochs=1, epochs=30, steps_per_epoch=10)
+    tx = make_optimizer(lr, warmup_epochs=1, epochs=30, steps_per_epoch=10)
     state = create_train_state(tr, fr, tx, jax.random.PRNGKey(1))
     step = jax.jit(make_train_step(model_apply_fn(model), tx, sel))
-
-    hist = []
+    n_train = x.shape[0] - HOLDOUT
+    first = last = None
     for i in range(steps):
-        b = (i * 64) % 192
-        state, parts = step(state, x[b:b + 64], y[b:b + 64])
-        if i % 50 == 0 or i == steps - 1:
-            hist.append({"step": i, "loss": round(float(parts["loss"]), 3),
-                         "keep": round(float(parts["keep_ratio"]), 3)})
-            print(json.dumps(hist[-1]), flush=True)
+        b = (i * batch) % max(n_train - batch, 1)
+        state, parts = step(state, x[b:b + batch], y[b:b + batch])
+        if i == 0:
+            first = float(parts["loss"])
+    last, keep = float(parts["loss"]), float(parts["keep_ratio"])
+    return state, dict(loss_first=first, loss_last=last, train_keep=keep)
 
-    ev_mask = jax.jit(make_eval_step(model_apply_fn(model)))
-    ev_disp = jax.jit(make_eval_step(model_apply_fn(model), dispatch=True))
-    xm, ym = x[192:], y[192:]
-    lm, tsm = ev_mask(state.trainable, state.frozen, xm)
-    ld, tsd = ev_disp(state.trainable, state.frozen, xm)
-    acc_m = float((lm.argmax(-1) == ym).mean())
-    acc_d = float((ld.argmax(-1) == ym).mean())
-    out = {
-        "final_train_keep": hist[-1]["keep"],
-        "target": target,
-        "eval_keep_mask": round(float(tsm.mean()), 3),
-        "eval_keep_dispatch": round(float(tsd.mean()), 3),
-        "holdout_acc_mask": round(acc_m, 3),
-        "holdout_acc_dispatch": round(acc_d, 3),
-        "loss_first": hist[0]["loss"], "loss_last": hist[-1]["loss"],
-    }
+
+def _acc(logits, y):
+    return float((logits.argmax(-1) == y).mean())
+
+
+def _eval_modes(build, state, xh, yh, ratio):
+    """holdout accuracy for mask eval + dispatch at exact/+10% capacity."""
+    out = {}
+    lm, tsm = jax.jit(make_eval_step(model_apply_fn(build(None))))(
+        state.trainable, state.frozen, xh)
+    out["acc_mask"] = _acc(lm, yh)
+    out["eval_keep"] = round(float(tsm.mean()), 3)
+    for namecap, cap in (("exact", ratio), ("plus10", min(1.0, ratio * 1.1))):
+        ld, _ = jax.jit(make_eval_step(model_apply_fn(build(cap)),
+                                       dispatch=True))(
+            state.trainable, state.frozen, xh)
+        out[f"acc_dispatch_{namecap}"] = _acc(ld, yh)
+    return out
+
+
+def run_image(ratio, steps):
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=4, num_heads=4)
+    tun = TuningConfig(ffn_num=8, d_model=64)
+
+    def build(cap):
+        return VisionTransformer(cfg, tuning=tun,
+                                 select=SelectConfig(token_target_ratio=ratio,
+                                                     capacity_ratio=cap),
+                                 dtype=jnp.float32)
+
+    x, y = make_task()
+    sel = SelectConfig(token_target_ratio=ratio)
+    state, tr = _train(build(None), sel, x, y, steps)
+    return {**tr, **_eval_modes(build, state, x[-HOLDOUT:], y[-HOLDOUT:],
+                                ratio)}
+
+
+def run_video(ratio, steps):
+    from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=4, num_heads=4, num_frames=2)
+    tun = TuningConfig(ffn_num=8, d_model=64)
+
+    def build(cap):
+        return VideoVisionTransformer(
+            cfg, tuning=tun, select=SelectConfig(token_target_ratio=ratio,
+                                                 capacity_ratio=cap),
+            dtype=jnp.float32)
+
+    xi, y = make_task()
+    rs = np.random.RandomState(7)
+    x = jnp.stack([xi, xi + jnp.asarray(
+        rs.randn(*xi.shape).astype(np.float32) * 0.05)], axis=1)  # [N,2,H,W,C]
+    sel = SelectConfig(token_target_ratio=ratio)
+    state, tr = _train(build(None), sel, x, y, steps, batch=32)
+    return {**tr, **_eval_modes(build, state, x[-HOLDOUT:], y[-HOLDOUT:],
+                                ratio)}
+
+
+def run_seg(ratio, steps):
+    """Seg backbone (windowed rel-pos attention) + linear per-patch head;
+    trains on the backbone's own in-backbone budget loss + patch CE."""
+    import flax.linen as nn
+    import optax
+
+    from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
+
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=2, embed_dim=64,
+                      depth=4, num_heads=4)
+    tun = TuningConfig(ffn_num=8, d_model=64, dropout=0.0)
+
+    class SegProbe(nn.Module):
+        cap: float = None
+
+        @nn.compact
+        def __call__(self, x, *, training=False, dispatch=False):
+            bb = SegVisionTransformer(
+                cfg, tuning=tun,
+                select=SelectConfig(token_target_ratio=ratio,
+                                    capacity_ratio=self.cap),
+                out_indices=(0, 1, 2, 3), dtype=jnp.float32, name="backbone")
+            feats, aux = bb(x, training=training, dispatch=dispatch)
+            logits = nn.Dense(2, dtype=jnp.float32, name="head")(feats[2])
+            return logits, aux
+
+    x, y = make_seg_task()
+    xh, yh = x[-HOLDOUT:], y[-HOLDOUT:]
+    model = SegProbe()
+    params = model.init(jax.random.PRNGKey(0), x[:2], training=True)["params"]
+    tx = optax.adamw(5e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb, rng):
+        def loss_fn(p):
+            logits, aux = model.apply({"params": p}, xb, training=True,
+                                      rngs={"gate": rng})
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, 2), yb.reshape(-1)).mean()
+            keep = (aux["token_select"].mean()
+                    if aux["token_select"] is not None else 0.0)
+            return ce + aux["loss"], (ce, keep)
+
+        (tot, (ce, keep)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, tot, keep
+
+    first = last = keep = None
+    n_train = x.shape[0] - HOLDOUT
+    for i in range(steps):
+        b = (i * 32) % max(n_train - 32, 1)
+        params, opt_state, tot, keep = step(params, opt_state, x[b:b + 32],
+                                            y[b:b + 32],
+                                            jax.random.fold_in(
+                                                jax.random.PRNGKey(2), i))
+        if i == 0:
+            first = float(tot)
+    last, keep = float(tot), float(keep)
+
+    out = dict(loss_first=first, loss_last=last, train_keep=keep)
+    lm, aux = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(params, xh)
+    out["acc_mask"] = float((lm.argmax(-1) == yh).mean())
+    out["eval_keep"] = round(float(aux["token_select"].mean()), 3)
+    for namecap, cap in (("exact", ratio), ("plus10", min(1.0, ratio * 1.1))):
+        md = SegProbe(cap=cap)
+        ld, _ = jax.jit(lambda p, xx: md.apply({"params": p}, xx,
+                                               dispatch=True))(params, xh)
+        out[f"acc_dispatch_{namecap}"] = float((ld.argmax(-1) == yh).mean())
+    return out
+
+
+def matrix(steps=300, only=None):
+    rows, fails = [], []
+    for modality, runner in (("image", run_image), ("video", run_video),
+                             ("seg", run_seg)):
+        if only and modality not in only:
+            continue
+        for ratio in RATIOS:
+            r = runner(ratio, steps)
+            row = {"modality": modality, "ratio": ratio, **{
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in r.items()}}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            if abs(r["train_keep"] - ratio) >= 0.1:
+                fails.append(f"{modality}@{ratio}: train keep {r['train_keep']}")
+            if r["loss_last"] >= r["loss_first"]:
+                fails.append(f"{modality}@{ratio}: loss did not decrease")
+            for cap in ("exact", "plus10"):
+                if abs(r["acc_mask"] - r[f"acc_dispatch_{cap}"]) > 0.02:
+                    fails.append(
+                        f"{modality}@{ratio}/{cap}: mask {r['acc_mask']} vs "
+                        f"dispatch {r[f'acc_dispatch_{cap}']}")
+    print(json.dumps({"rows": len(rows), "failures": fails}))
+    assert not fails, fails
+    print("MATRIX OK")
+    return rows
+
+
+def main(target=0.4, steps=300):
+    out = run_image(target, steps)
     print(json.dumps(out))
-    assert abs(out["final_train_keep"] - target) < 0.1, "keep-rate off target"
+    assert abs(out["train_keep"] - target) < 0.1, "keep-rate off target"
     assert out["loss_last"] < out["loss_first"], "loss did not decrease"
-    assert abs(acc_m - acc_d) <= 0.05, "dispatch eval diverges from mask eval"
+    assert abs(out["acc_mask"] - out["acc_dispatch_exact"]) <= 0.05, \
+        "dispatch eval diverges from mask eval"
     print("DYNAMICS OK")
     return out
 
 
 if __name__ == "__main__":
-    main()
+    if "--matrix" in sys.argv:
+        only = None
+        for a in sys.argv:
+            if a.startswith("--only="):
+                only = a.split("=", 1)[1].split(",")
+        matrix(only=only)
+    else:
+        main()

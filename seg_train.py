@@ -23,6 +23,12 @@ def get_args_parser():
     p.add_argument("--slide_stride", type=int, default=341)
     p.add_argument("--seg_norm", default="gn", choices=["gn", "bn"],
                    help="head norm: gn (stateless) or bn (SyncBN parity)")
+    p.add_argument("--seg_head_channels", type=int, default=0,
+                   help="OPT-IN deviation from the reference head config "
+                        "(our_vit.py channels=768): narrower UPerHead "
+                        "working width, e.g. 256 (~9x cheaper head; the "
+                        "head is flop-bound, see BENCH.md).  0 = reference "
+                        "parity")
     return p
 
 
@@ -38,7 +44,8 @@ def main(args):
     runner = SegRunner(cfg, total_iters=args.total_iters,
                        eval_interval=args.eval_interval,
                        crop=args.crop_size, slide_stride=args.slide_stride,
-                       norm=args.seg_norm)
+                       norm=args.seg_norm,
+                       head_channels=args.seg_head_channels)
     if args.eval:
         return runner.evaluate()
     return runner.run()

@@ -146,3 +146,33 @@ def test_segmentor_int8_head_drift(monkeypatch):
     b, _, _ = m_q8.apply({"params": p}, x)
     a, b = np.asarray(a), np.asarray(b)
     assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9) < 0.1
+
+
+def test_segmentor_head_channels_opt_in():
+    """--seg_head_channels: opt-in narrow UPerHead (deviation from the
+    reference our_vit.py channels=768 config; the head is flop-bound, see
+    BENCH.md).  Default stays reference parity; the narrow head changes
+    only decode_head param shapes and keeps the output contract."""
+    cfg = _tiny_cfg()
+    tun = TuningConfig(ffn_num=8, d_model=64)
+    ref = DyTSegmentor(cfg, num_classes=7, tuning=tun,
+                       select=SelectConfig(), dtype=jnp.float32)
+    slim = DyTSegmentor(cfg, num_classes=7, tuning=tun,
+                        select=SelectConfig(), head_channels=32,
+                        dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    p_ref = ref.init(jax.random.PRNGKey(1), x)["params"]
+    p_slim = slim.init(jax.random.PRNGKey(1), x)["params"]
+
+    # default = reference parity: bottleneck conv carries embed_dim channels
+    k_ref = p_ref["decode_head"]["fpn_bottleneck"]["conv"]["kernel"]
+    k_slim = p_slim["decode_head"]["fpn_bottleneck"]["conv"]["kernel"]
+    assert k_ref.shape[-1] == cfg.embed_dim
+    assert k_slim.shape[-1] == 32
+    # backbone + aux head untouched
+    assert jax.tree_util.tree_structure(p_ref["backbone"]) == \
+        jax.tree_util.tree_structure(p_slim["backbone"])
+
+    logits, aux_logits, _ = slim.apply({"params": p_slim}, x)
+    assert logits.shape == (2, 64, 64, 7)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -72,6 +72,167 @@ def make_vit_state_dict(rs: np.random.RandomState, *, depth: int, dim: int,
     return sd
 
 
+def _t(v):
+    return torch.from_numpy(np.array(v, np.float32, copy=True))
+
+
+@torch.no_grad()
+def flax_block_stack(p: dict, h: torch.Tensor, *, depth: int, heads: int,
+                     keep_layers: int = 0, complete_model: bool = False,
+                     adapter_scale: float = 0.1,
+                     window_index=None, qv_bias_only: bool = False,
+                     layer_scale: bool = False, tap: int = None):
+    """Run the DyT block stack in torch from FLAX-layout params (eval mode,
+    deterministic sigmoid>0.5 gates).  Covers the windowed/BEiT options:
+    ``window_index`` is the [N, N] relative-position index into
+    ``relative_position_bias_table`` (the straightforward table[idx] gather
+    the reference uses, seg backbone :150-195 — an independent check of our
+    Kronecker-structured build), ``qv_bias_only`` the BEiT q/v-only biases,
+    ``layer_scale`` the ls1/ls2 gammas.
+
+    Returns (h, gates [B, L, N-1], tapped, margin) where ``tapped`` is the
+    residual stream after block ``tap`` (pre-neck seg feature) and
+    ``margin`` the min |router logit| (gate-flip headroom)."""
+    B, N, dim = h.shape
+
+    def lin(v, *path, bias=True):
+        w = p[path + ("kernel",)].T
+        return tF.linear(v, w, p[path + ("bias",)] if bias else None)
+
+    def ln(v, *path):
+        return tF.layer_norm(v, (dim,), p[path + ("scale",)],
+                             p[path + ("bias",)], eps=1e-6)
+
+    gates, tapped, margin = [], None, float("inf")
+    for i in range(depth):
+        blk = (f"blocks_{i}",)
+        a = ln(h, *blk, "norm1")
+        if qv_bias_only:
+            qkv = lin(a, *blk, "attn", "qkv", bias=False)
+            bias = torch.cat([p[blk + ("attn", "q_bias")],
+                              torch.zeros(dim),
+                              p[blk + ("attn", "v_bias")]])
+            qkv = qkv + bias
+        else:
+            qkv = lin(a, *blk, "attn", "qkv")
+        q, k, v = qkv.reshape(B, N, 3, heads, dim // heads).permute(
+            2, 0, 3, 1, 4)
+        if window_index is not None:
+            table = p[blk + ("attn", "relative_position_bias_table")]
+            bias = table[torch.from_numpy(window_index).long()]  # [N,N,H]
+            att = tF.scaled_dot_product_attention(
+                q, k, v, attn_mask=bias.permute(2, 0, 1)[None])
+        else:
+            att = tF.scaled_dot_product_attention(q, k, v)
+        att = lin(att.transpose(1, 2).reshape(B, N, dim), *blk, "attn",
+                  "proj")
+        if layer_scale:
+            att = att * p[blk + ("ls1_gamma",)]
+        h = h + att
+
+        gate_full = None
+        if i >= keep_layers and not complete_model:
+            logits = lin(h[:, 1:], *blk, "mlp_token_select", "mlp_head")
+            margin = min(margin, logits.abs().min().item())
+            gate = (torch.sigmoid(logits) > 0.5).float()
+            gates.append(gate[..., 0])
+            gate_full = torch.cat([torch.ones(B, 1, 1), gate], 1)
+
+        down = tF.relu(lin(h, *blk, "adaptmlp", "down_proj"))
+        adapt = lin(down, *blk, "adaptmlp", "up_proj") * adapter_scale
+
+        mlp = lin(tF.gelu(lin(ln(h, *blk, "norm2"), *blk, "mlp", "fc1")),
+                  *blk, "mlp", "fc2")
+        if layer_scale:
+            mlp = mlp * p[blk + ("ls2_gamma",)]
+        if gate_full is not None:
+            mlp = gate_full * mlp
+        h = h + mlp + adapt
+        if tap is not None and i == tap:
+            tapped = h.clone()
+    gate_stack = (torch.stack(gates, 1).numpy() if gates
+                  else np.zeros((B, 0, N - 1), np.float32))
+    return h, gate_stack, tapped, margin
+
+
+@torch.no_grad()
+def seg_backbone_oracle(flat: dict, x: np.ndarray, *, depth: int, heads: int,
+                        patch: int, window_index, tap: int,
+                        qv_bias_only: bool = False,
+                        layer_scale: bool = False,
+                        use_abs_pos: bool = True,
+                        complete_model: bool = False):
+    """Seg/BEiT backbone eval forward from flax params: patch embed + cls +
+    windowed rel-pos blocks; returns (tapped stride-16 feature tokens
+    [B, N-1, D] = the model's raw f3, gates)."""
+    p = {k: _t(v) for k, v in flat.items()}
+    w = p[("patch_embed", "proj", "kernel")].permute(3, 2, 0, 1)
+    h = tF.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2), w,
+                  p[("patch_embed", "proj", "bias")], stride=patch)
+    B = h.shape[0]
+    dim = h.shape[1]
+    h = h.flatten(2).transpose(1, 2)
+    h = torch.cat([p[("cls_token",)].expand(B, -1, -1), h], 1)
+    if use_abs_pos:
+        h = h + p[("pos_embed",)]
+    _, gates, tapped, margin = flax_block_stack(
+        p, h, depth=depth, heads=heads, window_index=window_index,
+        qv_bias_only=qv_bias_only, layer_scale=layer_scale,
+        complete_model=complete_model, tap=tap)
+    return tapped[:, 1:].numpy(), gates, margin
+
+
+@torch.no_grad()
+def video_oracle(flat: dict, x: np.ndarray, *, depth: int, heads: int,
+                 patch: int, complete_model: bool = False):
+    """Video eval forward from flax params (reference
+    video_vision_transformer_IN21K.py:436-481): time folds into batch,
+    per-frame DyT blocks, final LN, then the zero-init query token
+    cross-attends over ALL frame tokens (AttentiveBlock :27-49,
+    CrossAttention :52-110 — separate q/k/v projections, q/v biases only)
+    and the pooled query feeds the head."""
+    p = {k: _t(v) for k, v in flat.items()}
+    B, T = x.shape[:2]
+    xf = x.reshape(B * T, *x.shape[2:])
+    w = p[("patch_embed", "proj", "kernel")].permute(3, 2, 0, 1)
+    h = tF.conv2d(torch.from_numpy(xf).permute(0, 3, 1, 2), w,
+                  p[("patch_embed", "proj", "bias")], stride=patch)
+    dim = h.shape[1]
+    h = h.flatten(2).transpose(1, 2)
+    h = torch.cat([p[("cls_token",)].expand(B * T, -1, -1), h], 1)
+    h = h + p[("pos_embed",)]
+    h, gates, _, margin = flax_block_stack(p, h, depth=depth, heads=heads,
+                                           complete_model=complete_model)
+    h = tF.layer_norm(h, (dim,), p[("norm", "scale")], p[("norm", "bias")],
+                      eps=1e-6)
+    kv = h.reshape(B, T * h.shape[1], dim)
+
+    ab = ("attentive_blocks",)
+    q_in = p[("query_token",)].expand(B, -1, -1)
+
+    def ab_ln(v, name):
+        return tF.layer_norm(v, (dim,), p[ab + (name, "scale")],
+                             p[ab + (name, "bias")], eps=1e-6)
+
+    q = ab_ln(q_in, "norm_q")
+    k = ab_ln(kv, "norm_k")
+    v = ab_ln(kv, "norm_v")
+    ca = ab + ("cross_attn",)
+    q = tF.linear(q, p[ca + ("q", "kernel")].T) + p[ca + ("q_bias",)]
+    k = tF.linear(k, p[ca + ("k", "kernel")].T)
+    v = tF.linear(v, p[ca + ("v", "kernel")].T) + p[ca + ("v_bias",)]
+    hd = dim // heads
+    q = q.reshape(B, 1, heads, hd).transpose(1, 2)
+    k = k.reshape(B, -1, heads, hd).transpose(1, 2)
+    v = v.reshape(B, -1, heads, hd).transpose(1, 2)
+    att = tF.scaled_dot_product_attention(q, k, v)
+    att = att.transpose(1, 2).reshape(B, 1, dim)
+    pooled = tF.linear(att, p[ca + ("proj", "kernel")].T,
+                       p[ca + ("proj", "bias")])[:, 0]
+    out = tF.linear(pooled, p[("head", "kernel")].T, p[("head", "bias")])
+    return out.numpy(), gates, margin
+
+
 class TorchDyTTrainer:
     """Torch mirror of the full DyT training step for loss-curve parity.
 
