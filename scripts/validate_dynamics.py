@@ -85,9 +85,12 @@ def make_seg_task(n=192, size=32, seed=0):
             jnp.asarray(np.stack(ys)))
 
 
-def _train(model, sel, x, y, steps, lr=5e-3, batch=64):
+def _train(model, sel, x, y, steps, lr=5e-3, batch=64, predicate=None):
     params = model.init(jax.random.PRNGKey(0), x[:2])["params"]
-    tr, fr = partition_params(params)
+    if predicate is None:
+        tr, fr = partition_params(params)
+    else:
+        tr, fr = partition_params(params, predicate)
     tx = make_optimizer(lr, warmup_epochs=1, epochs=30, steps_per_epoch=10)
     state = create_train_state(tr, fr, tx, jax.random.PRNGKey(1))
     step = jax.jit(make_train_step(model_apply_fn(model), tx, sel))
@@ -157,7 +160,18 @@ def run_video(ratio, steps):
     x = jnp.stack([xi, xi + jnp.asarray(
         rs.randn(*xi.shape).astype(np.float32) * 0.05)], axis=1)  # [N,2,H,W,C]
     sel = SelectConfig(token_target_ratio=ratio)
-    state, tr = _train(build(None), sel, x, y, steps, batch=32)
+
+    # mirror VideoRunner._trainable_pred: the video additions (query token +
+    # attentive pooling) are missing from image checkpoints and TRAIN in the
+    # reference's freeze-by-missing rule
+    from dynamic_tuning_tpu.train.optim import default_trainable_predicate
+
+    def pred(path):
+        return (default_trainable_predicate(path)
+                or path[0] in ("query_token", "attentive_blocks"))
+
+    state, tr = _train(build(None), sel, x, y, steps, batch=32,
+                       predicate=pred)
     return {**tr, **_eval_modes(build, state, x[-HOLDOUT:], y[-HOLDOUT:],
                                 ratio)}
 
