@@ -306,7 +306,14 @@ class VideoDataset:
 def _bilinear_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
     """uint8 HWC bilinear resize; cv2 when present, PIL otherwise so the
     aspect path works on installs whose decode backend isn't cv2 (the
-    backend-fallback design must not reintroduce a hard cv2 dependency)."""
+    backend-fallback design must not reintroduce a hard cv2 dependency).
+
+    Caveat: PIL BILINEAR area-filters when downscaling while cv2
+    INTER_LINEAR point-samples a 2x2 neighbourhood, so pixels differ by a
+    few gray levels between the two paths.  Eval protocols mostly upscale
+    (short side -> 224/256), and any one install uses one path
+    consistently; treat cross-install eval deltas at the <=0.1% level
+    accordingly."""
     try:
         import cv2
 

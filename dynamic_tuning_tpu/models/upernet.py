@@ -59,9 +59,10 @@ class ConvModule(nn.Module):
         if self.quant in ("int8", "int8_attn") and not training:
             # serving int8 conv (~2x MXU rate, measured 257 vs 128 TFLOPS at
             # the UPerHead bottleneck shape): per-output-channel int8
-            # weights x per-tensor dynamic int8 activations (a 3x3 window
-            # mixes neighbouring pixels, so the activation scale must be
-            # constant across the window — per-tensor, not per-pixel)
+            # weights x per-SAMPLE dynamic int8 activations (a 3x3 window
+            # mixes neighbouring pixels, so the scale must be constant
+            # across the window — per-sample is the finest legal grain,
+            # and it keeps outputs batch-invariant and shard-local)
             w = _ConvKernel(self.kernel, self.kernel, x.shape[-1],
                             self.out_ch, name="conv")()
             wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))            # [Cout]

@@ -58,8 +58,9 @@ class PatchEmbed(nn.Module):
         p = self.patch_size
         if self.quant in ("int8", "int8_attn") and not training:
             # serving int8 stem: per-output-channel int8 weights x
-            # per-tensor int8 activations (normalized images are tightly
-            # bounded, so a single activation scale loses nothing; the
+            # per-SAMPLE int8 activations (normalized images are tightly
+            # bounded so one scale per image loses nothing; per-sample
+            # keeps logits batch-invariant and shard-local, and the
             # non-overlapping windows would even permit per-patch scales)
             w, b = _ConvParams(p, p, x.shape[-1], self.embed_dim,
                                name="proj")()

@@ -260,7 +260,7 @@ def wait_for_async_saves():
 # directly with async IO, which is the TPU-native choice for multi-pod runs
 # (ROADMAP "remote/multi-pod checkpointing via orbax with async save").
 
-_ORBAX_MANAGERS: Dict[str, object] = {}
+_ORBAX_MANAGERS: Dict[tuple, object] = {}   # (abs dir, max_to_keep) -> mgr
 
 
 def _orbax_manager(output_dir: str, max_to_keep: Optional[int]):
@@ -274,7 +274,9 @@ def _orbax_manager(output_dir: str, max_to_keep: Optional[int]):
     if key not in _ORBAX_MANAGERS:
         stale = [k for k in _ORBAX_MANAGERS if k[0] == root and k != key]
         for k in stale:  # one live manager per dir: drain then drop the other
-            _ORBAX_MANAGERS.pop(k).wait_until_finished()
+            mgr = _ORBAX_MANAGERS.pop(k)
+            mgr.wait_until_finished()
+            mgr.close()   # release the async-checkpointing executor too
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, enable_async_checkpointing=True)
         _ORBAX_MANAGERS[key] = ocp.CheckpointManager(root, options=options)

@@ -52,6 +52,10 @@ def _masked_crc(data: bytes) -> int:
 # --- minimal protobuf encoding ----------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints encode negative int64 as 64-bit two's complement
+        # (10 bytes); without this a negative step would loop forever
+        n += 1 << 64
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -89,12 +93,19 @@ def _record(event: bytes) -> bytes:
 class EventFileWriter:
     """Writes ``events.out.tfevents.*`` scalar files TensorBoard can load."""
 
+    _uid = 0
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         now = time.time()
+        # pid + per-process counter uniquify like TF's EventsWriter does —
+        # two writers born in the same second must not interleave records
+        # into one file (TFRecord framing would corrupt)
+        EventFileWriter._uid += 1
         self.path = os.path.join(
             log_dir,
-            f"events.out.tfevents.{int(now)}.{socket.gethostname()}")
+            f"events.out.tfevents.{int(now)}.{socket.gethostname()}."
+            f"{os.getpid()}.{EventFileWriter._uid}")
         self._fh = open(self.path, "ab")
         self._fh.write(_record(_version_event(now)))
         self._fh.flush()

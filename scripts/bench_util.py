@@ -41,3 +41,34 @@ def device_time(fn, *args, i1=I1, i2=I2, repeats=REPEATS):
         _ = float(m2(*args))
         best2 = min(best2, time.perf_counter() - t0)
     return (best2 - best1) / (i2 - i1)
+
+
+def ambient_tflops():
+    """Ambient bf16 matmul rate (TFLOPS) via a 1000-iter scan spread —
+    the differenced device time (~94 ms healthy) dwarfs the tunnel's
+    ~25 ms RTT jitter.  Best-of-3 per side; returns None when the
+    difference is non-positive (never a nonsense negative TFLOPS —
+    that bug shipped in round 2's bench artifact).
+
+    bench.py carries its own inline copy by design: the driver artifact
+    must stay self-contained."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
+
+    def mm_many(iters):
+        @jax.jit
+        def f(aa):
+            def body(c, _):
+                return ((aa + c * 1e-12) @ aa).astype(jnp.float32).sum(), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return out
+
+        _ = float(f(a))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(f(a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (mm_many(1005) - mm_many(5)) / 1000
+    return 2 * 2048 ** 3 / dt / 1e12 if dt > 0 else None

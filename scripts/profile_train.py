@@ -32,28 +32,7 @@ TSTEPS = 8
 REPEATS = 3
 
 
-def ambient_tflops():
-    """Best-of-3 matmul rate with a 1000-iter scan spread (RTT-immune)."""
-    a = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
-
-    def mm_many(iters):
-        @jax.jit
-        def f(aa):
-            def body(c, _):
-                return ((aa + c * 1e-12) @ aa).astype(jnp.float32).sum(), None
-            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-            return out
-
-        _ = float(f(a))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(f(a))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt = (mm_many(1005) - mm_many(5)) / 1000
-    return 2 * 2048 ** 3 / dt / 1e12 if dt > 0 else float("nan")
+from scripts.bench_util import ambient_tflops  # noqa: E402  (shared probe)
 
 
 def time_scan_steps(model, sel, batch, tsteps=TSTEPS):
@@ -121,7 +100,9 @@ def forward_times(model, sel, batch):
 def main():
     quick = "--quick" in sys.argv
     amb = ambient_tflops()
-    print(f"ambient bf16 matmul: {amb:.1f} TFLOPS", flush=True)
+    print(f"ambient bf16 matmul: "
+          f"{'unmeasurable (RTT noise)' if amb is None else f'{amb:.1f}'} "
+          f"TFLOPS", flush=True)
     sel = SelectConfig()
     rows = []
     for batch in ([64] if quick else [64, 128, 256]):
@@ -140,7 +121,8 @@ def main():
             # GFLOPs in 1-MAC=1-FLOP convention -> x1e9 x2 for hardware FLOPs
             analytic = 4.0 * 2.0 * dense_vit_flops() * 1e9 * batch
             row["tflops_analytic"] = round(analytic / s / 1e12, 1)
-            row["mfu_vs_ambient"] = round(analytic / s / 1e12 / amb, 3)
+            if amb:
+                row["mfu_vs_ambient"] = round(analytic / s / 1e12 / amb, 3)
             if flops:
                 row["tflops_xla_count"] = round(flops / s / 1e12, 1)
             rows.append(row)
@@ -155,7 +137,8 @@ def main():
     print(json.dumps({"breakdown_batch64_ms": {
         "student_fwd": round(ts * 1e3, 2), "teacher_fwd": round(tt * 1e3, 2),
         "bwd_plus_opt": round(bwd * 1e3, 2),
-        "step": full["ms_per_step"]}, "ambient_tflops": round(amb, 1)}),
+        "step": full["ms_per_step"]},
+        "ambient_tflops": round(amb, 1) if amb else None}),
         flush=True)
 
 

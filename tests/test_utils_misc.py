@@ -80,18 +80,21 @@ def test_tb_event_writer_roundtrip(tmp_path):
                ("perf/test_acc1", 81.3, 1000)]
     for tag, v, s in scalars:
         w.add_scalar(tag, v, s)
+    w.add_scalar("sentinel", 0.0, -1)   # negative step must not hang _varint
     w.close()
 
     # TSV side
     lines = (tmp_path / "scalars.tsv").read_text().strip().splitlines()
-    assert len(lines) == 3 and lines[0].split("\t")[0] == "loss"
+    assert len(lines) == 4 and lines[0].split("\t")[0] == "loss"
 
     # event-file side, our reader
     evt = [p for p in tmp_path.iterdir()
            if p.name.startswith("events.out.tfevents.")]
     assert len(evt) == 1
     got = list(read_event_file(str(evt[0])))
-    assert [(t, round(v, 4), s) for t, v, s in got] == scalars
+    assert [(t, round(v, 4), s) for t, v, s in got[:3]] == scalars
+    # negative step decodes as 64-bit two's complement (proto int64)
+    assert got[3][2] == (1 << 64) - 1
 
     # cross-check with stock TensorBoard when present
     try:
@@ -101,7 +104,8 @@ def test_tb_event_writer_roundtrip(tmp_path):
         return
     acc = EventAccumulator(str(tmp_path))
     acc.Reload()
-    assert sorted(acc.Tags()["scalars"]) == ["loss", "perf/test_acc1"]
+    assert sorted(acc.Tags()["scalars"]) == ["loss", "perf/test_acc1",
+                                             "sentinel"]
     loss = acc.Scalars("loss")
     assert [(e.step, round(e.value, 4)) for e in loss] == [(0, 2.5),
                                                            (1000, 1.25)]
