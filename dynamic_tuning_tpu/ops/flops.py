@@ -79,6 +79,11 @@ def batch_select_flops(token_select: np.ndarray, *, T: int = 197,
     Returns [B] GFLOPs.
     """
     ts = np.asarray(token_select)
+    if keep_layers and depth - ts.shape[1] != keep_layers:
+        raise ValueError(
+            f"gate stack has {ts.shape[1]} routed layers but depth "
+            f"{depth} - keep_layers {keep_layers} expects "
+            f"{depth - keep_layers}")
     counts = ts.reshape(ts.shape[0], ts.shape[1], -1).sum(-1) + 1  # +CLS
     fixed_routed = block_flops(T, 0, dim, mlp_ratio, bottleneck)
     per_tok = mlp_flops_per_token(dim, mlp_ratio)

@@ -21,15 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf(x):
-    """Abramowitz-Stegun 7.1.26 erf (max err 1.5e-7 — far below bf16 ulp).
-    Pallas TPU has no erf/erfc primitive; this uses only exp and mul-adds."""
-    sign = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-a * a))
+from dynamic_tuning_tpu.ops.mha_serving import erf_f32 as _erf  # noqa: E402
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -393,6 +393,19 @@ def layernorm_f32(xf, gamma, beta):
     return xc * jax.lax.rsqrt(var + 1e-6) * gamma + beta
 
 
+def erf_f32(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max err 1.5e-7 — far below
+    the bf16 ulp and the int8 noise floor).  Mosaic has no erf/erfc
+    lowering; this uses only exp and mul-adds.  Shared by the int8 kernels
+    (ops/quant.py) and the fused-MLP experiment (ops/fused_mlp.py)."""
+    sign = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-a * a))
+
+
 def attn_core_pairs(qkv_s, out_s, *, heads: int, hd: int, scale: float):
     """The head-pair attention core on a VMEM qkv scratch [N, 3C]; writes
     [N, C] to ``out_s``.  Shared by every fused sublayer kernel (bf16 and

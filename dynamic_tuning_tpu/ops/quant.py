@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dynamic_tuning_tpu.ops.mha_serving import (_batch_partitioned,
+                                                  erf_f32 as _erf_f32,
                                                 attn_core_pairs,
                                                 layernorm_f32)
 
@@ -77,15 +78,6 @@ def _q8_matmul(xf, w_ref, colscale_ref):
 # composition (reference vision_transformer_IN21K.py:157-163).
 
 
-def _erf_f32(x):
-    """Abramowitz & Stegun 7.1.26 rational erf (max err 1.5e-7) — Mosaic has
-    no erf/erfc lowering, and 1.5e-7 is far below the int8 noise floor."""
-    sign = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-a * a))
 
 
 def _gelu_f32(x, approximate: bool):

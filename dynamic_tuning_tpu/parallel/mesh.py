@@ -120,6 +120,29 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def host_local_rows(x) -> "np.ndarray":
+    """Materialize the caller-process's rows of a batch-sharded array.
+
+    Single process (fully addressable): plain np.asarray.  Multi-process:
+    ``np.asarray`` on a cross-process-sharded array raises, so concatenate
+    this host's addressable shards in index order instead — the host-local
+    counterpart of ``shard_batch``.  Pairing between two arrays produced
+    under the same sharding (e.g. eval logits and labels) is preserved
+    because both expose their shards in the same order."""
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    # dedup replicas (a model-parallel axis replicates each row shard) and
+    # order by global row offset
+    seen = {}
+    for s in x.addressable_shards:
+        key = s.index[0].start or 0
+        if key not in seen:
+            seen[key] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])
+
+
 def _path_to_spec(mesh: Mesh, path, shape) -> P:
     """Derive a PartitionSpec for any TrainState leaf from its pytree path.
 

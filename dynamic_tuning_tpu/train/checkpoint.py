@@ -242,6 +242,50 @@ def save_checkpoint(output_dir: str, state, epoch: int, *,
     return path
 
 
+def save_aux_state(output_dir: str, name: str, tree, step: int, *,
+                   auto_remove: bool = False, is_main: bool = True) -> str:
+    """Sidecar pytree saved next to a checkpoint — for mutable collections
+    that live outside the TrainState, e.g. the SyncBN ``batch_stats`` of the
+    segmentation runner (reference mmseg checkpoints carry BN buffers inside
+    the state dict; our TrainState is params+opt only).  Replicated
+    collections are written by the main process alone."""
+    if not is_main or not tree:
+        return ""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"aux-{name}-{step}.msgpack")
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_pure(tree)))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    if auto_remove:
+        for old in glob.glob(os.path.join(output_dir, f"aux-{name}-*.msgpack")):
+            m = re.search(rf"aux-{re.escape(name)}-(\d+)\.msgpack$", old)
+            if m and int(m.group(1)) < step:
+                os.remove(old)
+    return path
+
+
+def load_aux_state(output_dir: str, name: str, template,
+                   step: Optional[int] = None):
+    """Restore the latest (or given-step) sidecar saved by save_aux_state
+    into ``template``'s structure; returns template unchanged when no
+    sidecar exists (e.g. resuming a GroupNorm run)."""
+    pat = os.path.join(output_dir, f"aux-{name}-*.msgpack")
+    found = {}
+    for p in glob.glob(pat):
+        m = re.search(rf"aux-{re.escape(name)}-(\d+)\.msgpack$", p)
+        if m:
+            found[int(m.group(1))] = p
+    if not found:
+        return template
+    pick = step if step in found else max(found)
+    with open(found[pick], "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(template, restored)
+
+
 def wait_for_async_saves():
     """Block until an in-flight non-blocking save finishes."""
     global _ASYNC_SAVER
@@ -406,6 +450,9 @@ def export_torch_state_dict(params: Params, path: str) -> int:
                 w = np.ascontiguousarray(w.T)
             elif w.ndim == 4:
                 w = np.ascontiguousarray(w.transpose(3, 2, 0, 1))  # HWIO->OIHW
+            elif w.ndim == 5:
+                # tubelet Conv3d: DHWIO -> OIDHW (inverse of _convert_tensor)
+                w = np.ascontiguousarray(w.transpose(4, 3, 0, 1, 2))
         sd[tkey] = torch.tensor(w)
     torch.save({"model": sd}, path)
     return len(sd)

@@ -85,9 +85,14 @@ def lars(learning_rate, *, weight_decay: float = 0.0,
          trust_coefficient: float = 0.001) -> optax.GradientTransformation:
     """LARS optimizer (reference util/lars.py — unused by the live recipes but
     part of the component inventory): layer-wise LR scaled by
-    trust * ||w|| / (||g|| + wd * ||w||), then SGD momentum.  1-D params
-    (biases, norms) skip both weight decay and the trust ratio, matching the
-    reference's ``p.ndim == 1`` exclusion."""
+    trust * ||w|| / ||g + wd * w|| (the wd-adjusted gradient's norm, as the
+    reference computes it), then SGD momentum.  1-D params (biases, norms)
+    skip both weight decay and the trust ratio, matching the reference's
+    ``p.ndim == 1`` exclusion.  ``learning_rate`` must be a float — wrap
+    with optax.inject_hyperparams for schedules."""
+    if callable(learning_rate):
+        raise ValueError("lars takes a float lr; wrap with "
+                         "optax.inject_hyperparams for schedules")
 
     def init(params):
         return optax.trace(decay=momentum, nesterov=False).init(params)
@@ -107,12 +112,8 @@ def lars(learning_rate, *, weight_decay: float = 0.0,
 
         adjusted = jax.tree_util.tree_map(adjust, grads, params)
         updates, state = mom.update(adjusted, state, params)
-        lr = learning_rate if not callable(learning_rate) else None
-        if lr is None:
-            # schedule: track a step count inside the trace state is not
-            # possible; wrap with inject_hyperparams instead
-            raise ValueError("pass a float lr or wrap with optax.inject_hyperparams")
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        updates = jax.tree_util.tree_map(lambda u: -learning_rate * u,
+                                         updates)
         return updates, state
 
     return optax.GradientTransformation(init, update)

@@ -112,11 +112,19 @@ class Runner:
         self.state = M.shard_state(self.mesh, state)
 
         self.start_epoch = 0
+        self.max_metric = 0.0
         if cfg.resume:
-            self.state, last_epoch, _ = C.load_checkpoint(cfg.resume, self.state)
+            self.state, last_epoch, extra = C.load_checkpoint(cfg.resume,
+                                                              self.state)
             self.state = M.shard_state(self.mesh, self.state)
             self.start_epoch = last_epoch + 1
-            self.logger.info(f"resumed from {cfg.resume} at epoch {self.start_epoch}")
+            # checkpoints save only on improvement -> stored metric is the
+            # best-so-far; without this the first post-resume eval always
+            # "improves" over 0.0 and auto_remove prunes the true best
+            self.max_metric = float(extra.get("metric", 0.0))
+            self.logger.info(f"resumed from {cfg.resume} at epoch "
+                             f"{self.start_epoch} "
+                             f"(best metric {self.max_metric:.2f})")
 
         self.train_step = jax.jit(
             make_train_step(self.apply_fn, self.tx, cfg.select),
@@ -170,10 +178,12 @@ class Runner:
             xb, yb = self._device_batch(imgs, labels, train=False)
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
-            all_logits.append(np.asarray(logits))
-            all_labels.append(np.asarray(yb))
+            # host-local rows: np.asarray on a cross-process-sharded array
+            # raises; each host keeps its own rows, allgathered below
+            all_logits.append(M.host_local_rows(logits))
+            all_labels.append(M.host_local_rows(yb))
             if token_select is not None:
-                ts = np.asarray(token_select).astype(np.float64)
+                ts = M.host_local_rows(token_select).astype(np.float64)
                 keep_sum += ts.sum()
                 keep_n += ts.size
                 per_layer = ts.mean(axis=(0, 2, 3))   # [L]
@@ -221,7 +231,7 @@ class Runner:
 
     def run(self) -> Dict[str, float]:
         cfg = self.cfg
-        max_metric = 0.0
+        max_metric = self.max_metric
         t0 = time.time()
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             train_stats = self.train_one_epoch(epoch)

@@ -9,6 +9,7 @@ the total loss (encoder_decoder.py:139-142)."""
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Dict
 
@@ -119,9 +120,23 @@ class SegRunner:
                                    jax.random.fold_in(rng, 1))
         self.state = M.shard_state(self.mesh, state)
         self.start_iter = 0
+        self.max_miou = 0.0
         if cfg.resume:
-            self.state, last, _ = C.load_checkpoint(cfg.resume, self.state)
+            self.state, last, extra = C.load_checkpoint(cfg.resume, self.state)
+            # restored arrays are host-local: re-lay them out on the mesh
+            self.state = M.shard_state(self.mesh, self.state)
             self.start_iter = int(self.state.step)
+            # checkpoints save only on improvement -> stored miou is the
+            # best-so-far (prevents auto_remove from pruning the true best
+            # after the first post-resume eval)
+            self.max_miou = float(extra.get("miou", 0.0))
+            if self.batch_stats:
+                # SyncBN running stats live outside the TrainState; restore
+                # the sidecar or eval would normalize with init stats
+                root = (cfg.resume if os.path.isdir(cfg.resume)
+                        else os.path.dirname(cfg.resume) or ".")
+                self.batch_stats = C.load_aux_state(root, "batch_stats",
+                                                    self.batch_stats)
 
         self.train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
         self._eval_apply = jax.jit(self._make_eval_apply())
@@ -205,7 +220,7 @@ class SegRunner:
         cfg = self.cfg
         ml = MetricLogger(logger=self.logger)
         it = self.start_iter
-        max_miou, t0 = 0.0, time.time()
+        max_miou, t0 = self.max_miou, time.time()
         epoch = 0
         while it < self.total_iters:
             self.train_loader.set_epoch(epoch)
@@ -227,6 +242,11 @@ class SegRunner:
                                           auto_remove=True,
                                           is_main=jax.process_index() == 0,
                                           backend=cfg.ckpt_backend)
+                        if self.batch_stats:
+                            C.save_aux_state(
+                                cfg.output_dir, "batch_stats",
+                                self.batch_stats, it, auto_remove=True,
+                                is_main=jax.process_index() == 0)
                     max_miou = max(max_miou, stats["metric"])
                 if it >= self.total_iters:
                     break

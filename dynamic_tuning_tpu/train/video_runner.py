@@ -85,19 +85,32 @@ class VideoRunner:
         eff_batch = cfg.data.batch_size * cfg.accum_iter * jax.process_count()
         lr = cfg.optim.absolute_lr(eff_batch)
         self.steps_per_epoch = len(self.train_loader)
-        self.tx = make_optimizer(
+        from dynamic_tuning_tpu.train.optim import with_grad_accumulation
+        # accumulate like the image Runner: the LR above is scaled by
+        # accum_iter, so the optimizer must step once per accum_iter
+        # micro-batches (MultiSteps), and its schedule advances per applied
+        # step
+        self.tx = with_grad_accumulation(make_optimizer(
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,
-            steps_per_epoch=max(self.steps_per_epoch, 1),
+            steps_per_epoch=max(
+                self.steps_per_epoch // max(cfg.accum_iter, 1), 1),
             weight_decay=cfg.optim.weight_decay,
-            clip_grad=cfg.optim.clip_grad)
+            clip_grad=cfg.optim.clip_grad), cfg.accum_iter)
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
         self.state = M.shard_state(self.mesh, state)
         self.start_epoch = 0
+        self.max_metric = 0.0
         if cfg.resume:
-            self.state, last, _ = C.load_checkpoint(cfg.resume, self.state)
+            self.state, last, extra = C.load_checkpoint(cfg.resume, self.state)
+            # restored arrays are host-local: re-lay them out on the mesh
+            self.state = M.shard_state(self.mesh, self.state)
             self.start_epoch = last + 1
+            # checkpoints save only on improvement, so the stored metric IS
+            # the best-so-far: restoring it stops the first post-resume eval
+            # from "improving" over 0.0 and pruning the true best
+            self.max_metric = float(extra.get("metric", 0.0))
 
         self.train_step = jax.jit(
             make_train_step(self.apply_fn, self.tx, cfg.select),
@@ -147,9 +160,13 @@ class VideoRunner:
                                     train=False,
                                     pre_cropped=flat.shape[2]
                                     == self.model_cfg.img_size)
+            # mesh placement + host-local readback (multi-host: the state is
+            # mesh-sharded, so the batch must be globally assembled, and
+            # np.asarray on the sharded output would raise)
+            (xb,) = M.shard_batch(self.mesh, (xb,))
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
-            per_view = np.asarray(logits).reshape(B, V, -1)
+            per_view = M.host_local_rows(logits).reshape(B, V, -1)
             if save_views_dir:
                 from dynamic_tuning_tpu.utils.multiview import save_view_outputs
                 ids = np.repeat(np.arange(clip_offset, clip_offset + B), V)
@@ -161,17 +178,24 @@ class VideoRunner:
             all_logits.append(logits)
             all_labels.append(np.asarray(labels))
             if token_select is not None:
-                ts = np.asarray(token_select)   # [(B*V*T), L, N-1, 1]
+                ts = M.host_local_rows(token_select)  # [(B*V*T), L, N-1, 1]
                 keeps.append(ts.mean())
                 g = batch_select_flops(
                     ts, T=self.model_cfg.seq_len,
                     dim=self.model_cfg.embed_dim,
+                    mlp_ratio=self.model_cfg.mlp_ratio,
                     bottleneck=self.cfg.tuning.ffn_num,
                     num_classes=self.nb_classes, depth=self.model_cfg.depth)
                 # per-clip = sum over its T frames
                 gflops.append(g.reshape(-1, T).sum(-1).mean())
         logits = np.concatenate(all_logits)
         labels = np.concatenate(all_labels)
+        if jax.process_count() > 1:  # cross-host eval concat (as image path)
+            from jax.experimental import multihost_utils
+            logits = multihost_utils.process_allgather(logits)
+            labels = multihost_utils.process_allgather(labels)
+            logits = logits.reshape(-1, logits.shape[-1])
+            labels = labels.reshape(-1)
         acc1, acc5 = topk_accuracy(jnp.asarray(logits), jnp.asarray(labels),
                                    (1, min(5, self.nb_classes)))
         stats = {"acc1": acc1, "acc5": acc5, "metric": acc1}
@@ -179,6 +203,7 @@ class VideoRunner:
             dense = dense_vit_flops(self.model_cfg.seq_len,
                                     self.model_cfg.depth,
                                     self.model_cfg.embed_dim,
+                                    self.model_cfg.mlp_ratio,
                                     num_classes=self.nb_classes) * T
             stats["gflops_per_clip"] = float(np.mean(gflops))
             stats["flops_ratio_vs_dense"] = stats["gflops_per_clip"] / dense
@@ -189,7 +214,7 @@ class VideoRunner:
 
     def run(self) -> Dict[str, float]:
         cfg = self.cfg
-        max_metric, t0 = 0.0, time.time()
+        max_metric, t0 = self.max_metric, time.time()
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             stats = self.train_one_epoch(epoch)
             self.logger.info(f"epoch {epoch} train: " + json.dumps(

@@ -224,3 +224,28 @@ def test_orbax_resume_then_auto_remove_prunes(tmp_path):
     C.wait_for_async_saves()
     mgr = C._orbax_manager(out, 1)
     assert sorted(mgr.all_steps()) == [3], mgr.all_steps()
+
+
+def test_aux_state_sidecar_roundtrip(tmp_path):
+    """SyncBN batch_stats sidecar: save_aux_state/load_aux_state round-trip,
+    auto_remove pruning, and template passthrough when no sidecar exists."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamic_tuning_tpu.train import checkpoint as C
+
+    stats = {"bn": {"mean": jnp.arange(4.0), "var": jnp.ones((4,)) * 2}}
+    out = str(tmp_path)
+    C.save_aux_state(out, "batch_stats", stats, step=10, auto_remove=True)
+    C.save_aux_state(out, "batch_stats", jax.tree_util.tree_map(
+        lambda v: v + 1, stats), step=20, auto_remove=True)
+    import glob as g
+    files = g.glob(out + "/aux-batch_stats-*.msgpack")
+    assert len(files) == 1 and "-20." in files[0]    # pruned step 10
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, stats)
+    restored = C.load_aux_state(out, "batch_stats", template)
+    np.testing.assert_array_equal(np.asarray(restored["bn"]["mean"]),
+                                  np.arange(4.0) + 1)
+    # no sidecar -> template unchanged
+    same = C.load_aux_state(str(tmp_path / "empty"), "batch_stats", template)
+    assert same is template

@@ -104,3 +104,78 @@ def test_image_runner_orbax_backend(tmp_path):
     r2 = Runner(cfg2)
     assert r2.start_epoch == 1
     assert int(r2.state.step) > 0
+
+
+def test_image_runner_resume_restores_best_metric(tmp_path):
+    """Regression: max_metric must survive resume, or the first post-resume
+    eval always 'improves' over 0.0 and auto_remove prunes the true best."""
+    from dynamic_tuning_tpu.train.runner import Runner
+
+    cfg = _base_cfg(tmp_path)
+    r1 = Runner(cfg)
+    out = r1.run()
+    assert out["max_metric"] > 0
+    ckpts = sorted(p for p in tmp_path.iterdir()
+                   if p.name.startswith("checkpoint-"))
+    cfg2 = cfg.replace(resume=str(ckpts[-1]))
+    r2 = Runner(cfg2)
+    assert r2.max_metric == pytest.approx(out["max_metric"])
+
+
+def test_video_runner_resume_and_accum(tmp_path):
+    """Video runner: --accum_iter wraps the optimizer in MultiSteps (one
+    applied update per accum_iter micro-batches, like the image runner) and
+    resume restores the best metric + re-shards the state."""
+    import optax
+
+    from dynamic_tuning_tpu.train.video_runner import VideoRunner
+
+    cfg = RunConfig(
+        model=dataclasses.replace(TINY, num_classes=10, num_frames=2),
+        tuning=TINY_TUNING, select=SelectConfig(),
+        optim=OptimConfig(lr=1e-3, warmup_epochs=0.2, epochs=1),
+        data=DataConfig(dataset="synthetic", batch_size=8, num_workers=2,
+                        num_frames=2),
+        output_dir=str(tmp_path), compute_dtype="float32", accum_iter=2)
+    r1 = VideoRunner(cfg)
+    # MultiSteps state wraps the inner optimizer: mini_step counter exists
+    assert isinstance(r1.state.opt_state, optax.MultiStepsState)
+    out = r1.run()
+    ckpts = sorted(p for p in tmp_path.iterdir()
+                   if p.name.startswith("checkpoint-"))
+    assert ckpts, "video runner saved no checkpoint"
+    r2 = VideoRunner(cfg.replace(resume=str(ckpts[-1])))
+    assert r2.start_epoch == 1
+    assert r2.max_metric == pytest.approx(out["max_metric"])
+
+
+def test_seg_runner_bn_stats_sidecar_roundtrip(tmp_path):
+    """SyncBN batch_stats persist in an aux sidecar and restore on resume
+    (regression: they used to reset to init, collapsing post-resume eval)."""
+    import numpy as np
+
+    from dynamic_tuning_tpu.train.seg_runner import SegRunner
+
+    cfg = RunConfig(
+        model=dataclasses.replace(TINY, img_size=64, depth=4),
+        tuning=TINY_TUNING, select=SelectConfig(),
+        optim=OptimConfig(lr=1e-3),
+        data=DataConfig(dataset="synthetic", batch_size=8, num_workers=2),
+        output_dir=str(tmp_path), compute_dtype="float32")
+    r1 = SegRunner(cfg, total_iters=6, eval_interval=6, crop=64,
+                   slide_stride=48, norm="bn")
+    out = r1.run()
+    sidecars = [p for p in tmp_path.iterdir()
+                if p.name.startswith("aux-batch_stats-")]
+    assert sidecars, "bn run wrote no batch_stats sidecar"
+    ckpts = sorted(p for p in tmp_path.iterdir()
+                   if p.name.startswith("checkpoint-"))
+    r2 = SegRunner(cfg.replace(resume=str(ckpts[-1])), total_iters=6,
+                   eval_interval=6, crop=64, slide_stride=48, norm="bn")
+    assert r2.max_miou == pytest.approx(out["max_miou"])
+    # restored stats match the trained ones, not a fresh init
+    a = jax.tree_util.tree_leaves(r1.batch_stats)
+    b = jax.tree_util.tree_leaves(r2.batch_stats)
+    assert any(float(abs(x).sum()) > 0 for x in a)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))

@@ -50,3 +50,28 @@ def test_exported_logits_identical(tmp_path):
     l1, _ = model.apply({"params": params}, x)
     l2, _ = model.apply({"params": restored}, x)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_video_tubelet_conv3d_export_roundtrip(tmp_path):
+    """5-D tubelet kernels must invert DHWIO->OIDHW on export (regression:
+    export used to skip 5-D, breaking the video checkpoint round-trip)."""
+    from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=1, num_heads=4, num_frames=2, tubelet_size=2)
+    model = VideoVisionTransformer(cfg, tuning=TuningConfig(ffn_num=8,
+                                                            d_model=64),
+                                   select=SelectConfig(), dtype=jnp.float32)
+    x = jnp.zeros((1, 2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    k = params["patch_embed"]["proj"]["kernel"]
+    assert k.ndim == 5                              # DHWIO
+
+    path = str(tmp_path / "video.pth")
+    C.export_torch_state_dict(params, path)
+    sd = C.load_torch_state_dict(path)
+    assert sd["patch_embed.proj.weight"].shape == (64, 3, 2, 8, 8)  # OIDHW
+    fresh = model.init(jax.random.PRNGKey(2), x)["params"]
+    restored, _ = C.import_pretrained(fresh, sd, logger=None)
+    np.testing.assert_array_equal(
+        np.asarray(restored["patch_embed"]["proj"]["kernel"]), np.asarray(k))
