@@ -39,8 +39,12 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         """Reshuffle seed per epoch (DistributedSampler.set_epoch semantics,
-        reference main_image.py:328)."""
+        reference main_image.py:328).  Forwarded to the dataset when it
+        draws per-sample randomness (video frame sampling, seg crops) so
+        those draws stay epoch-varying AND thread-safe."""
         self.epoch = epoch
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.ds)
@@ -81,14 +85,30 @@ class DataLoader:
             labels = np.asarray([s[1] for s in samples], np.int32)
             return imgs, labels
 
+        def put(item) -> bool:
+            """Bounded-queue put that aborts when the consumer is gone —
+            a plain q.put would block forever if the caller breaks out of
+            the epoch early (leaking the thread + prefetched batches)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(make_batch(b))
-            finally:
-                q.put(None)
+                    if not put(make_batch(b)):
+                        return
+            except BaseException as e:   # surface decode errors, don't
+                put(e)                   # truncate the epoch silently (a
+                return                   # short epoch deadlocks multi-host
+                                         # collectives)
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -97,6 +117,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -111,7 +133,9 @@ def make_loader(dataset, batch_size: int, *, shuffle: bool = False,
     loader otherwise (in-memory arrays, synthetic, video)."""
     samples = None
     canvas = getattr(dataset, "canvas", None)
-    if hasattr(dataset, "samples"):            # ImageFolder: (abs_path, label)
+    if hasattr(dataset, "clip_len"):           # video: the C++ JPEG loader
+        samples = None                         # cannot decode mp4 frames
+    elif hasattr(dataset, "samples"):          # ImageFolder: (abs_path, label)
         samples = list(dataset.samples)
     elif hasattr(dataset, "items") and hasattr(dataset, "root"):
         import os

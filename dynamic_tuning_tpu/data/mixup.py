@@ -27,7 +27,7 @@ def mixup_cutmix(rng: jax.Array, images: jax.Array, labels: jax.Array, *,
     [B, num_classes] soft labels (with label smoothing).
     """
     B, H, W, _ = images.shape
-    k_lam, k_mode, k_box = jax.random.split(rng, 3)
+    k_lam, k_mode, k_box, k_pos = jax.random.split(rng, 4)
     flipped = images[::-1]
 
     lam = jax.random.beta(k_lam, alpha, alpha)
@@ -40,7 +40,9 @@ def mixup_cutmix(rng: jax.Array, images: jax.Array, labels: jax.Array, *,
     lam_c = jax.random.beta(k_box, cutmix_alpha, cutmix_alpha)
     cut = jnp.sqrt(1.0 - lam_c)
     ch, cw = (cut * H).astype(jnp.int32), (cut * W).astype(jnp.int32)
-    kcy, kcx = jax.random.split(k_box)
+    # fresh key for the box position — k_box was consumed by the beta draw
+    # (single-use key discipline: size and position must be independent)
+    kcy, kcx = jax.random.split(k_pos)
     cy = jax.random.randint(kcy, (), 0, H)
     cx = jax.random.randint(kcx, (), 0, W)
     y0 = jnp.clip(cy - ch // 2, 0, H)

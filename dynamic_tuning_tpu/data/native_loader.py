@@ -30,12 +30,22 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     if not os.path.exists(_SO) or (os.path.exists(_SRC) and
                                    os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        # per-process temp + atomic rename: concurrent processes racing g++
+        # on one .so path cause sporadic CDLL failures (same fix as
+        # native_video._load)
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO,
+                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp,
                  "-ljpeg", "-lpng", "-lpthread"],
                 check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+            os.replace(tmp, _SO)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
             return None
     try:
         lib = ctypes.CDLL(_SO)

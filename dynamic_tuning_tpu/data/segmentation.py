@@ -65,7 +65,8 @@ class ADE20KDataset:
         self.cat_max_ratio = cat_max_ratio
         self.num_classes = self.NUM_CLASSES
         self.metric = "miou"
-        self._rs = np.random.RandomState(seed)
+        self._seed = seed
+        self._epoch = 0
 
     def __len__(self):
         return len(self.items)
@@ -76,15 +77,25 @@ class ADE20KDataset:
         out[ann == 255] = 255
         return out.astype(np.uint8)
 
-    def _rand_crop(self, img, ann):
+    def set_epoch(self, epoch: int):
+        """Per-epoch augmentation seed (forwarded by DataLoader.set_epoch);
+        per-call RandomStates keep draws thread-safe under the loader's
+        worker pool AND reproducible."""
+        self._epoch = epoch
+
+    def _call_rs(self, i: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self._seed * 1_000_003 + self._epoch * 7919 + i) % (2 ** 31))
+
+    def _rand_crop(self, rs, img, ann):
         """RandomCrop with cat_max_ratio: retry up to 10 crops so one class
         doesn't fill >75% of the crop (mmseg RandomCrop semantics)."""
         c = self.crop
         h, w = img.shape[:2]
         best = None
         for _ in range(10):
-            top = self._rs.randint(0, max(h - c, 0) + 1)
-            left = self._rs.randint(0, max(w - c, 0) + 1)
+            top = rs.randint(0, max(h - c, 0) + 1)
+            left = rs.randint(0, max(w - c, 0) + 1)
             a = ann[top:top + c, left:left + c]
             labels, counts = np.unique(a[a != 255], return_counts=True)
             best = (top, left)
@@ -96,16 +107,16 @@ class ADE20KDataset:
         return (img[top:top + c, left:left + c],
                 ann[top:top + c, left:left + c])
 
-    def _photometric(self, img: np.ndarray) -> np.ndarray:
+    def _photometric(self, rs, img: np.ndarray) -> np.ndarray:
         """Brightness/contrast/saturation jitter (PhotoMetricDistortion)."""
         out = img.astype(np.float32)
-        if self._rs.rand() < 0.5:
-            out += self._rs.uniform(-32, 32)
-        if self._rs.rand() < 0.5:
-            out *= self._rs.uniform(0.5, 1.5)
-        if self._rs.rand() < 0.5:  # saturation via mean-gray mix
+        if rs.rand() < 0.5:
+            out += rs.uniform(-32, 32)
+        if rs.rand() < 0.5:
+            out *= rs.uniform(0.5, 1.5)
+        if rs.rand() < 0.5:  # saturation via mean-gray mix
             gray = out.mean(axis=-1, keepdims=True)
-            out = gray + (out - gray) * self._rs.uniform(0.5, 1.5)
+            out = gray + (out - gray) * rs.uniform(0.5, 1.5)
         return np.clip(out, 0, 255).astype(np.uint8)
 
     def __getitem__(self, i):
@@ -115,11 +126,12 @@ class ADE20KDataset:
         c = self.crop
 
         if self.train:
+            rs = self._call_rs(i)
             # Resize: fit (2048, 512) keep-ratio then random ratio 0.5-2.0
             h, w = img.shape[:2]
             base = min(max(self.base_scale) / max(h, w),
                        min(self.base_scale) / min(h, w))
-            scale = base * self._rs.uniform(*self.ratio_range)
+            scale = base * rs.uniform(*self.ratio_range)
             img = _resize(img, scale)
             ann = _resize(ann, scale, nearest=True)
             # pad to at least crop, then random crop + flip + photometric
@@ -128,10 +140,10 @@ class ADE20KDataset:
             if ph or pw:
                 img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
                 ann = np.pad(ann, ((0, ph), (0, pw)), constant_values=255)
-            img, ann = self._rand_crop(img, ann)
-            if self._rs.rand() < 0.5:
+            img, ann = self._rand_crop(rs, img, ann)
+            if rs.rand() < 0.5:
                 img, ann = img[:, ::-1], ann[:, ::-1]
-            img = self._photometric(img)
+            img = self._photometric(rs, img)
             return np.ascontiguousarray(img), np.ascontiguousarray(ann)
         # eval: keep-ratio resize so short side ~512, return whole image
         h, w = img.shape[:2]

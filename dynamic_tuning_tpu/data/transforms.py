@@ -63,8 +63,10 @@ def _sample_crop_box(rng: jax.Array, h: int, w: int,
     ok = valid.any()
     cw = jnp.where(ok, cw[first], jnp.minimum(w, h) * 1.0)
     ch = jnp.where(ok, ch[first], jnp.minimum(w, h) * 1.0)
-    top = jax.random.uniform(k_top) * (h - ch)
-    left = jax.random.uniform(k_left) * (w - cw)
+    # torchvision fallback is a CENTER crop (util/crop.py parity); only
+    # valid sampled candidates get a random position
+    top = jnp.where(ok, jax.random.uniform(k_top) * (h - ch), (h - ch) / 2)
+    left = jnp.where(ok, jax.random.uniform(k_left) * (w - cw), (w - cw) / 2)
     return top, left, ch, cw
 
 

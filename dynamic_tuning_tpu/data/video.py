@@ -188,7 +188,8 @@ class VideoDataset:
         # offsets (0, margin//2, margin) along the long axis, mirroring the
         # reference (_generate_spatial_crops, video_datasets/k400.py:281-300)
         self.spatial_size = spatial_size
-        self._rs = np.random.RandomState(seed)
+        self._seed = seed
+        self._epoch = 0
 
     def __len__(self):
         return len(self.items)
@@ -280,13 +281,22 @@ class VideoDataset:
         cap.release()
         return max(n, 1)
 
+    def set_epoch(self, epoch: int):
+        """Per-epoch sampling seed (forwarded by DataLoader.set_epoch);
+        per-call RandomStates keep frame sampling thread-safe under the
+        loader's worker pool AND reproducible (a shared RandomState mutated
+        from concurrent workers corrupts and is schedule-dependent)."""
+        self._epoch = epoch
+
     def __getitem__(self, i):
         path, label = self.items[i]
         n = self._num_frames(path)
         if not self.test_mode:
-            idx = (sample_indices_random(n, self.clip_len, self.rate, self._rs)
+            rs = np.random.RandomState(
+                (self._seed * 1_000_003 + self._epoch * 7919 + i) % (2 ** 31))
+            idx = (sample_indices_random(n, self.clip_len, self.rate, rs)
                    if self.rate > 0 else
-                   sample_indices_tsn(n, self.clip_len, self._rs))
+                   sample_indices_tsn(n, self.clip_len, rs))
             return self._decode(path, idx), label
         views = []
         for seg in range(self.test_num_segment):

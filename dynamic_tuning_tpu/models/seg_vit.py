@@ -31,9 +31,10 @@ Dtype = Any
 
 
 def default_out_indices(depth: int) -> Tuple[int, ...]:
-    """Reference default (3, 5, 7, 11) at depth 12 (:342); shallow backbones
-    tap the last 4 blocks."""
-    if depth >= 12:
+    """Reference default (3, 5, 7, 11) at depth 12 (:342); other depths use
+    the quarter-point formula (deeper backbones must tap the full depth —
+    e.g. depth 24 -> (5, 11, 17, 23), not the ViT-B indices)."""
+    if depth == 12:
         return (3, 5, 7, 11)
     idx = tuple(sorted({max(0, depth * (k + 1) // 4 - 1) for k in range(4)}))
     return idx if len(idx) == 4 else tuple(range(max(0, depth - 4), depth))

@@ -58,28 +58,14 @@ class ConvModule(nn.Module):
     def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
         if self.quant in ("int8", "int8_attn") and not training:
             # serving int8 conv (~2x MXU rate, measured 257 vs 128 TFLOPS at
-            # the UPerHead bottleneck shape): per-output-channel int8
-            # weights x per-SAMPLE dynamic int8 activations (a 3x3 window
-            # mixes neighbouring pixels, so the scale must be constant
-            # across the window — per-sample is the finest legal grain,
-            # and it keeps outputs batch-invariant and shard-local)
+            # the UPerHead bottleneck shape; shared s8xs8 conv with
+            # per-channel weight x per-sample activation scales,
+            # ops/quant.py::q8_conv)
+            from dynamic_tuning_tpu.ops.quant import q8_conv
+
             w = _ConvKernel(self.kernel, self.kernel, x.shape[-1],
                             self.out_ch, name="conv")()
-            wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))            # [Cout]
-            wscale = wmax / 127.0
-            wq = jnp.clip(jnp.round(w * jnp.where(
-                wmax > 0, 127.0 / wmax, 0.0)), -127, 127).astype(jnp.int8)
-            xf = x.astype(jnp.float32)
-            # per-sample amax (window-constant, batch-invariant, shard-local)
-            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-            xscale = amax / 127.0
-            xq = jnp.clip(jnp.round(xf * jnp.where(
-                amax > 0, 127.0 / amax, 0.0)), -127, 127).astype(jnp.int8)
-            acc = jax.lax.conv_general_dilated(
-                xq, wq, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            x = acc.astype(jnp.float32) * (xscale * wscale)
+            x = q8_conv(x, w, strides=(1, 1), padding="SAME")
         else:
             x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                         padding="SAME", use_bias=False, dtype=self.dtype,

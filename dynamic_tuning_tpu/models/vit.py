@@ -57,28 +57,15 @@ class PatchEmbed(nn.Module):
     def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
         p = self.patch_size
         if self.quant in ("int8", "int8_attn") and not training:
-            # serving int8 stem: per-output-channel int8 weights x
-            # per-SAMPLE int8 activations (normalized images are tightly
-            # bounded so one scale per image loses nothing; per-sample
-            # keeps logits batch-invariant and shard-local, and the
-            # non-overlapping windows would even permit per-patch scales)
+            # serving int8 stem (shared s8xs8 conv, ops/quant.py::q8_conv:
+            # per-channel weights x per-sample activations — normalized
+            # images are tightly bounded so one scale per image loses
+            # nothing, and per-sample keeps logits batch-invariant)
+            from dynamic_tuning_tpu.ops.quant import q8_conv
+
             w, b = _ConvParams(p, p, x.shape[-1], self.embed_dim,
                                name="proj")()
-            wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
-            wq = jnp.clip(jnp.round(w * jnp.where(
-                wmax > 0, 127.0 / wmax, 0.0)), -127, 127).astype(jnp.int8)
-            xf = x.astype(jnp.float32)
-            # per-sample amax: keeps serving logits batch-invariant and the
-            # quantization shard-local under a data-sharded mesh (a whole-
-            # batch max would couple samples and insert an all-reduce here)
-            amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-            xq = jnp.clip(jnp.round(xf * jnp.where(
-                amax > 0, 127.0 / amax, 0.0)), -127, 127).astype(jnp.int8)
-            acc = jax.lax.conv_general_dilated(
-                xq, wq, (p, p), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            x = (acc.astype(jnp.float32) * ((amax / 127.0) * (wmax / 127.0))
+            x = (q8_conv(x, w, strides=(p, p), padding="VALID")
                  + b).astype(self.dtype)
         else:
             x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),

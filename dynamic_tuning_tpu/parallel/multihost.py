@@ -66,8 +66,14 @@ def discover(env: Optional[dict] = None) -> Optional[Tuple[str, int, int]]:
                 int(e["OMPI_COMM_WORLD_RANK"]))
     if "SLURM_NTASKS" in e and int(e["SLURM_NTASKS"]) > 1:  # misc.py:228-233
         addr = e.get("MASTER_ADDR")
-        if addr is None and "SLURM_STEP_NODELIST" in e:
-            addr = _first_slurm_node(e["SLURM_STEP_NODELIST"])
+        for var in ("SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST",
+                    "SLURM_NODELIST"):
+            if addr is None and var in e:
+                addr = _first_slurm_node(e[var])
+        if addr is None:
+            raise RuntimeError(
+                "SLURM multi-task job but no coordinator address: set "
+                "MASTER_ADDR or run under srun (no SLURM_*_NODELIST found)")
         port = e.get("MASTER_PORT", "29500")
         return (f"{addr}:{port}", int(e["SLURM_NTASKS"]),
                 int(e["SLURM_PROCID"]))

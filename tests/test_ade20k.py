@@ -38,11 +38,17 @@ def test_train_sample_geometry_and_labels(ade_root):
 
 
 def test_train_samples_stochastic(ade_root):
+    """Augmentation draws are deterministic per (epoch, index) — thread-safe
+    under the loader's worker pool — and fresh each epoch (the reference's
+    DistributedSampler.set_epoch semantics)."""
     ds = ADE20KDataset(ade_root, "training", crop=64, train=True,
                        base_scale=(256, 64))
     a, _ = ds[0]
     b, _ = ds[0]
-    assert not np.array_equal(a, b)   # random crop/flip/photometric
+    np.testing.assert_array_equal(a, b)   # per-call seed: repeatable
+    ds.set_epoch(1)
+    c, _ = ds[0]
+    assert not np.array_equal(a, c)       # random crop/flip/photometric
 
 
 def test_eval_sample_keeps_aspect(ade_root):

@@ -93,3 +93,88 @@ def test_random_resized_crop_covers_full_image_when_scale_1():
     ref = jax.image.resize(img.astype(jnp.float32), (32, 32, 3), "bilinear")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_loader_surfaces_decode_errors():
+    """A failing __getitem__ must raise in the consumer, not silently end
+    the epoch early (a truncated epoch deadlocks multi-host collectives)."""
+    import pytest
+
+    from dynamic_tuning_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("corrupt sample")
+            import numpy as np
+            return np.zeros((4, 4, 3), np.uint8), 0
+
+    loader = DataLoader(Bad(), batch_size=4, num_workers=2)
+    with pytest.raises(IOError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+
+def test_loader_early_break_does_not_hang():
+    """Breaking out mid-epoch must release the producer (bounded puts that
+    watch the stop event) — a plain q.put would block forever."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from dynamic_tuning_tpu.data.loader import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros((4, 4, 3), np.uint8), 0
+
+    before = threading.active_count()
+    for _ in range(4):
+        loader = DataLoader(Slow(), batch_size=4, num_workers=2, prefetch=2)
+        for n, _ in enumerate(loader):
+            if n == 1:
+                break
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    # producers exited rather than blocking forever on a full queue
+    assert threading.active_count() <= before + 1
+
+
+def test_video_sampling_thread_safe_and_epoch_varying():
+    """Per-call RandomStates: concurrent __getitem__ draws are deterministic
+    per (epoch, index) and change across epochs."""
+    import numpy as np
+
+    from dynamic_tuning_tpu.data.video import DummyVideoDataset, VideoDataset
+
+    ds = DummyVideoDataset(n=4, clip_len=4)
+
+    class FakeVideo(VideoDataset):
+        def __init__(self):
+            self.items = [(f"c{i}.mp4", 0) for i in range(4)]
+            self.clip_len, self.rate = 4, 2
+            self.test_mode, self.canvas = False, 16
+            self.spatial_size = None
+            self._seed, self._epoch = 0, 0
+
+        def _num_frames(self, path):
+            return 64
+
+        def _decode(self, path, idx):
+            return np.asarray(idx)          # expose the sampled indices
+
+    fv = FakeVideo()
+    a1, _ = fv[1]
+    a2, _ = fv[1]
+    np.testing.assert_array_equal(a1, a2)   # deterministic per call
+    fv.set_epoch(1)
+    b1, _ = fv[1]
+    assert not np.array_equal(a1, b1)       # epoch changes the draw
