@@ -67,8 +67,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--residual_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="residual-stream dtype (bfloat16 = fast)")
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize blocks in backward (big batches)")
+    parser.add_argument("--remat", nargs="?", const="full", default=False,
+                        choices=["full", "scores"],
+                        help="backward rematerialization for big batches: "
+                             "'full' re-runs whole blocks; 'scores' (cheaper) "
+                             "recomputes only the fp32 attention score "
+                             "tensors, the dominant activation term")
     parser.add_argument("--quant", default="none",
                         choices=["none", "int8", "int8_attn"],
                         help="int8 = W8A8 serving matmuls (eval paths only)")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -80,8 +80,12 @@ class ModelConfig:
     gelu_approx: bool = False               # tanh GELU (VPU-cheap) vs exact erf
     residual_dtype: str = "float32"         # "bfloat16" halves residual HBM
                                             # traffic (inference-safe)
-    remat: bool = False                     # rematerialize blocks in backward
-                                            # (jax.checkpoint) for big batches
+    remat: Union[bool, str] = False         # backward rematerialization:
+                                            # False/"" off; True/"full" whole
+                                            # blocks; "scores" recompute only
+                                            # the [B,H,N,N] fp32 attention
+                                            # score/prob tensors (the dominant
+                                            # activation at big batches)
     quant: str = "none"                     # "int8" = W8A8 serving matmuls
                                             # (MXU double-rate; eval only)
     # video settings

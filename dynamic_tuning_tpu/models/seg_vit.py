@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-from dynamic_tuning_tpu.models.layers import Block, trunc_normal_02
+from dynamic_tuning_tpu.models.layers import (Block, remat_block_cls,
+                                               trunc_normal_02)
 from dynamic_tuning_tpu.models.vit import PatchEmbed
 from dynamic_tuning_tpu.train.losses import token_budget_loss
 
@@ -86,9 +87,12 @@ class SegVisionTransformer(nn.Module):
         gates, logits_all = [], []
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
                for i in range(cfg.depth)]
+        # at N=1025 the fp32 score tensors are ~100 MB/block even at
+        # batch 2, so remat="scores" matters here first
+        block_cls = remat_block_cls(cfg.remat, training)
         for i in range(cfg.depth):
             sel = self.select.open and i >= self.select.keep_layers
-            x, gate, logits = Block(
+            x, gate, logits = block_cls(
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,

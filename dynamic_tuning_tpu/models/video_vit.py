@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-from dynamic_tuning_tpu.models.layers import Block, trunc_normal_02
+from dynamic_tuning_tpu.models.layers import (Block, remat_block_cls,
+                                               trunc_normal_02)
 from dynamic_tuning_tpu.models.vit import PatchEmbed
 
 Dtype = Any
@@ -163,17 +164,18 @@ class VideoVisionTransformer(nn.Module):
         gates, logits_all = [], []
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
                for i in range(cfg.depth)]
+        # time folds into batch (B*T rows), so video training hits the
+        # big-batch activation regime first — honor the remat knob
+        block_cls = remat_block_cls(cfg.remat, training)
         for i in range(cfg.depth):
             sel = self.select.open and i >= self.select.keep_layers
-            x, gate, logits = Block(
+            x, gate, logits = block_cls(
                 num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, proj_drop=cfg.proj_drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path=dpr[i], select=sel,
                 gelu_approx=cfg.gelu_approx, quant=cfg.quant,
                 tuning=self.tuning, select_cfg=self.select, dtype=self.dtype,
-                name=f"blocks_{i}")(x, training=training,
-                                    complete_model=complete_model,
-                                    dispatch=dispatch)
+                name=f"blocks_{i}")(x, training, complete_model, dispatch)
             if gate is not None:
                 gates.append(gate)
                 logits_all.append(logits)

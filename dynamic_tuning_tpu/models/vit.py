@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-from dynamic_tuning_tpu.models.layers import Block, trunc_normal_02
+from dynamic_tuning_tpu.models.layers import (Block, remat_block_cls,
+                                               trunc_normal_02)
 
 Dtype = Any
 
@@ -115,10 +116,7 @@ class VisionTransformer(nn.Module):
         # stochastic-depth decay rule; static python floats (not traced)
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
                for i in range(cfg.depth)]
-        # static_argnums indexes the bound call (module, x, training,
-        # complete_model, dispatch) -> flags at 2, 3, 4
-        block_cls = (nn.remat(Block, static_argnums=(2, 3, 4))
-                     if cfg.remat and training else Block)
+        block_cls = remat_block_cls(cfg.remat, training)
         for i in range(cfg.depth):
             sel = self.select.open and i >= self.select.keep_layers
             x, gate, logits = block_cls(

@@ -15,7 +15,7 @@ def test_video_config_forwards_model_knobs():
          "--clip_grad", "1.0", "--dataset", "ssv2", "--num_frames", "16"])
     cfg = main_video.build_config(args)
     assert cfg.model.gelu_approx is True
-    assert cfg.model.remat is True
+    assert cfg.model.remat == "full"     # bare --remat = full-block remat
     assert cfg.model.residual_dtype == "bfloat16"
     assert cfg.model.num_frames == 16
     assert cfg.optim.clip_grad == 1.0

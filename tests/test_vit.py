@@ -81,3 +81,75 @@ def test_gradients_flow_to_router_through_mask(tiny_model_cfg, tiny_tuning_cfg):
     grads = jax.grad(loss)(params)
     g = grads["blocks_0"]["mlp_token_select"]["mlp_head"]["kernel"]
     assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("mode", ["full", "scores"])
+def test_remat_modes_match_no_remat_gradients(tiny_model_cfg, tiny_tuning_cfg,
+                                              mode):
+    """Rematerialization must not change the math: loss and every gradient
+    match the no-remat backward bitwise-closely.  "scores" drops only the
+    checkpoint_name-tagged [B,H,N,N] tensors (vit.py policy) — the cheap
+    selective mode for big batches."""
+    import dataclasses
+
+    model, params, x = _build(tiny_model_cfg, tiny_tuning_cfg)
+    model_r = VisionTransformer(
+        dataclasses.replace(tiny_model_cfg, remat=mode),
+        tuning=tiny_tuning_cfg, select=SelectConfig(), dtype=jnp.float32)
+    rngs = {"gate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+
+    def loss(m):
+        def f(p):
+            logits, aux = m.apply({"params": p}, x, training=True, rngs=rngs)
+            return (logits ** 2).mean() + aux["token_select"].mean()
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(model_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_scores_video_and_seg_backbones(tiny_model_cfg, tiny_tuning_cfg):
+    """remat="scores" must also hold for the video (time folded into batch)
+    and seg (windowed rel-pos bias) backbones: same loss and gradients as
+    the plain backward."""
+    import dataclasses
+
+    from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
+    from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+    rngs = {"gate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+    seg_cfg = dataclasses.replace(tiny_model_cfg, depth=4)  # 4 FPN taps
+
+    for cls, cfg, x in [
+        (VideoVisionTransformer, tiny_model_cfg,
+         jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))),
+        (SegVisionTransformer, seg_cfg,
+         jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))),
+    ]:
+        m0 = cls(cfg, tuning=tiny_tuning_cfg,
+                 select=SelectConfig(), dtype=jnp.float32)
+        m1 = cls(dataclasses.replace(cfg, remat="scores"),
+                 tuning=tiny_tuning_cfg,
+                 select=SelectConfig(), dtype=jnp.float32)
+        params = m0.init(jax.random.PRNGKey(1), x)["params"]
+
+        def loss(m):
+            def f(p):
+                out, aux = m.apply({"params": p}, x, training=True, rngs=rngs)
+                first = out[0] if isinstance(out, tuple) else out
+                return (first.astype(jnp.float32) ** 2).mean()
+            return f
+
+        l0, g0 = jax.value_and_grad(loss(m0))(params)
+        l1, g1 = jax.value_and_grad(loss(m1))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
