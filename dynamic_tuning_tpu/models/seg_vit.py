@@ -35,6 +35,10 @@ def default_out_indices(depth: int) -> Tuple[int, ...]:
     """Reference default (3, 5, 7, 11) at depth 12 (:342); other depths use
     the quarter-point formula (deeper backbones must tap the full depth —
     e.g. depth 24 -> (5, 11, 17, 23), not the ViT-B indices)."""
+    if depth < 4:
+        raise ValueError(
+            f"segmentation backbone needs >=4 blocks for the 4 FPN taps "
+            f"(got depth={depth})")
     if depth == 12:
         return (3, 5, 7, 11)
     idx = tuple(sorted({max(0, depth * (k + 1) // 4 - 1) for k in range(4)}))

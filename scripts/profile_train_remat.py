@@ -56,12 +56,23 @@ def build_step(remat, batch, sel):
     return lambda: float(steps_scan(state, x, y))
 
 
+def _parse_mode(s):
+    return {"off": False, "full": True}.get(s, s)
+
+
 def main():
-    quick = "--quick" in sys.argv
+    """argv: pairs of batch:mode,mode (default '128:off,scores
+    256:off,full' — the b256 scores program exceeds HBM, see
+    profile_train_memory.py)."""
+    specs = [a for a in sys.argv[1:] if ":" in a] or \
+        ["128:off,scores", "256:off,full"]
     sel = SelectConfig(token_target_ratio=0.5)
     out = []
-    for batch in ([128] if quick else [64, 128, 256]):
-        runs = {m: build_step(m, batch, sel) for m in (False, "scores")}
+    for spec in specs:
+        b_str, m_str = spec.split(":")
+        batch = int(b_str)
+        modes = [_parse_mode(m) for m in m_str.split(",")]
+        runs = {m: build_step(m, batch, sel) for m in modes}
         for f in runs.values():
             f()                                     # compile + warm
         best = {m: float("inf") for m in runs}
@@ -72,10 +83,15 @@ def main():
                 best[m] = min(best[m], (time.perf_counter() - t0) / TSTEPS)
         row = {"batch": batch}
         for m, s in best.items():
-            key = "scores" if m == "scores" else "off"
+            key = {False: "off", True: "full"}.get(m, m)
             row[f"ms_{key}"] = round(s * 1e3, 1)
             row[f"img_s_{key}"] = round(batch / s, 1)
-        row["speedup_scores"] = round(best[False] / best["scores"], 3)
+        if False in best:
+            base = best[False]
+            for m, s in best.items():
+                if m is not False:
+                    key = {True: "full"}.get(m, m)
+                    row[f"speedup_{key}"] = round(base / s, 3)
         out.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"rows": out}))
