@@ -84,8 +84,11 @@ class ADE20KDataset:
         self._epoch = epoch
 
     def _call_rs(self, i: int) -> np.random.RandomState:
-        return np.random.RandomState(
-            (self._seed * 1_000_003 + self._epoch * 7919 + i) % (2 ** 31))
+        # SeedSequence mixes (seed, epoch, index) collision-resistantly — a
+        # linear hash with a small epoch stride reuses streams across epochs
+        # for datasets larger than the stride
+        return np.random.RandomState(np.random.SeedSequence(
+            [self._seed, self._epoch, i]).generate_state(1)[0])
 
     def _rand_crop(self, rs, img, ann):
         """RandomCrop with cat_max_ratio: retry up to 10 crops so one class

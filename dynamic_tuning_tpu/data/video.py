@@ -292,8 +292,11 @@ class VideoDataset:
         path, label = self.items[i]
         n = self._num_frames(path)
         if not self.test_mode:
-            rs = np.random.RandomState(
-                (self._seed * 1_000_003 + self._epoch * 7919 + i) % (2 ** 31))
+            # SeedSequence mixes (seed, epoch, index) collision-resistantly —
+            # a linear hash with a small epoch stride reuses streams across
+            # epochs for datasets larger than the stride
+            rs = np.random.RandomState(np.random.SeedSequence(
+                [self._seed, self._epoch, i]).generate_state(1)[0])
             idx = (sample_indices_random(n, self.clip_len, self.rate, rs)
                    if self.rate > 0 else
                    sample_indices_tsn(n, self.clip_len, rs))

@@ -134,13 +134,22 @@ def host_local_rows(x) -> "np.ndarray":
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     # dedup replicas (a model-parallel axis replicates each row shard) and
-    # order by global row offset
+    # order by global row offset.  Dedup-by-row is only sound when every
+    # shard of a row carries the FULL row (replicated non-batch dims): if
+    # the compiler left a non-batch axis genuinely sharded, dropping the
+    # "duplicates" would silently discard columns — fail loud instead.
     seen = {}
     for s in x.addressable_shards:
         key = s.index[0].start or 0
         if key not in seen:
-            seen[key] = np.asarray(s.data)
-    return np.concatenate([seen[k] for k in sorted(seen)])
+            seen[key] = (np.asarray(s.data), s.index[1:])
+        elif seen[key][1] != s.index[1:]:
+            raise ValueError(
+                f"host_local_rows: array is sharded along a non-batch axis "
+                f"(row {key}: {seen[key][1]} vs {s.index[1:]}); gather it "
+                f"(e.g. jax.lax.with_sharding_constraint to batch-only) "
+                f"before host readback")
+    return np.concatenate([seen[k][0] for k in sorted(seen)])
 
 
 def _path_to_spec(mesh: Mesh, path, shape) -> P:

@@ -149,7 +149,11 @@ class VideoRunner:
         engine_finetune.py:360-534 -> utils/multiview.py)."""
         all_logits, all_labels = [], []
         gflops, keeps = [], []
-        T = self.cfg.data.num_frames
+        # gate rows per clip: the tubelet stem folds tubelet_size frames
+        # into one frame GROUP, so token_select has num_frames/tubelet rows
+        # per clip, not num_frames
+        T = (self.cfg.data.num_frames
+             // max(self.model_cfg.tubelet_size, 1))
         clip_offset = 0
         for clips, labels in self.val_loader:
             B, V = clips.shape[0], clips.shape[1]

@@ -37,7 +37,6 @@ if os.environ.get("DYT_VALIDATE_BACKEND", "cpu") == "cpu":
     except RuntimeError:
         pass
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

@@ -153,9 +153,7 @@ def test_video_sampling_thread_safe_and_epoch_varying():
     per (epoch, index) and change across epochs."""
     import numpy as np
 
-    from dynamic_tuning_tpu.data.video import DummyVideoDataset, VideoDataset
-
-    ds = DummyVideoDataset(n=4, clip_len=4)
+    from dynamic_tuning_tpu.data.video import VideoDataset
 
     class FakeVideo(VideoDataset):
         def __init__(self):
