@@ -33,7 +33,10 @@ def get_args_parser():
     p.add_argument("--nb_classes", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--mode", default="dispatch",
-                   choices=["dispatch", "mask", "dense"])
+                   choices=["dispatch", "mask", "dense", "auto"],
+                   help="auto = dense below the measured dispatch-crossover "
+                        "batch size, dispatch at/above it (BENCH.md batch "
+                        "curve: dispatch loses at batch 1, wins from ~8)")
     p.add_argument("--ffn_num", type=int, default=64)
     p.add_argument("--token_target_ratio", type=float, default=0.5)
     p.add_argument("--capacity_ratio", type=float, default=None)
@@ -56,6 +59,13 @@ def _list_images(path):
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
     return [os.path.join(path, f) for f in sorted(os.listdir(path))
             if f.lower().endswith(exts)]
+
+
+# Measured on TPU (scripts/bench_serving_batch_curve.py, BENCH.md round 3):
+# below this batch the forward is latency-bound and the router + dispatch
+# gather cost ~0.1 ms that token-skipping cannot pay back (0.92x at batch 1);
+# the dispatch win crosses 1.0x at ~batch 8 and peaks at 128 (1.33x).
+AUTO_DISPATCH_MIN_BATCH = 8
 
 
 def _load_canvas(path, canvas=256):
@@ -100,8 +110,12 @@ def main(args):
         xb = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
                            out_size=args.img_size, inception=args.inception,
                            train=False)
+        mode = args.mode
+        if mode == "auto":
+            mode = ("dense" if len(chunk) < AUTO_DISPATCH_MIN_BATCH
+                    else "dispatch")
         logits, gates = fast_vit_forward(params, xb, cfg=cfg, tuning=tuning,
-                                         select=sel, mode=args.mode,
+                                         select=sel, mode=mode,
                                          use_pallas=False)
         probs = jax.nn.softmax(logits, -1)
         keep = (np.asarray(gates).mean(axis=(1, 2))

@@ -51,6 +51,22 @@ def test_predict_dispatch_mode(setup, capsys):
     assert out.count('"path"') == 5
 
 
+def test_predict_auto_mode_crossover(setup, monkeypatch):
+    """auto = dense below the measured crossover batch, dispatch at/above.
+
+    Threshold lowered to 3 so the 5 images split into a dispatch chunk
+    (3 >= 3) and a dense tail chunk (2 < 3)."""
+    images_dir, ckpt = setup
+    monkeypatch.setattr(predict, "AUTO_DISPATCH_MIN_BATCH", 3)
+    args = predict.get_args_parser().parse_args(
+        ["--ckpt", ckpt, "--images", images_dir, "--mode", "auto",
+         "--batch_size", "3"] + ARCH)
+    results = predict.main(args)
+    assert len(results) == 5
+    assert all(r["keep_ratio"] < 1.0 for r in results[:3])   # dispatched
+    assert all(r["keep_ratio"] == 1.0 for r in results[3:])  # dense tail
+
+
 def test_predict_single_file_dense(setup):
     images_dir, ckpt = setup
     args = predict.get_args_parser().parse_args(
