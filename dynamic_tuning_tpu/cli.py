@@ -45,6 +45,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--drop_path", type=float, default=0.0)
     parser.add_argument("--inception", action="store_true",
                         help="inception mean/std (jx IN21K pretrain)")
+    parser.add_argument("--fulltune", action="store_true",
+                        help="train the full backbone, not just adapters/"
+                             "router/head (reference main_image.py:254)")
     parser.add_argument("--ffn_adapt", action="store_true", default=True)
     parser.add_argument("--ffn_num", default=64, type=int)
     parser.add_argument("--adapter_scalar", default="0.1", type=str)
@@ -106,6 +109,6 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                      eval_dispatch=args.eval_dispatch,
                      eval_freq=args.eval_freq, save_freq=args.save_freq,
                      resume=args.resume, finetune=args.finetune,
-                     accum_iter=args.accum_iter,
+                     fulltune=args.fulltune, accum_iter=args.accum_iter,
                      compute_dtype=args.compute_dtype,
                      ckpt_backend=args.ckpt_backend)

@@ -171,6 +171,9 @@ class RunConfig:
     save_freq: int = 1
     resume: str = ""
     finetune: str = ""                      # path to pretrained .pth / .msgpack
+    # train the whole backbone instead of adapters/router/head only
+    # (reference --fulltune, main_image.py:254 / main_video.py:287)
+    fulltune: bool = False
     accum_iter: int = 1
     # numerics: params fp32, matmul compute bf16 (the TPU analogue of the
     # reference's CUDA AMP autocast, engine_finetune.py:47)

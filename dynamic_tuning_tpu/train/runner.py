@@ -87,7 +87,12 @@ class Runner:
                 params = sd
             params = C.reinit_head(params, jax.random.fold_in(rng, 1))
 
-        trainable, frozen = partition_params(params)
+        # --fulltune trains the whole backbone (main_image.py:254); default
+        # is the reference freeze rule (adapters + router + head only)
+        if cfg.fulltune:
+            trainable, frozen = partition_params(params, lambda _: True)
+        else:
+            trainable, frozen = partition_params(params)
         self.logger.info(
             f"trainable params (M): {count_params(trainable) / 1e6:.2f}; "
             f"frozen (M): {count_params(frozen, exclude_head=False) / 1e6:.2f}")

@@ -78,7 +78,9 @@ class VideoRunner:
                 params = C.load_params(cfg.finetune)
             params = C.reinit_head(params, jax.random.fold_in(rng, 1))
 
-        trainable, frozen = partition_params(params, self._trainable_pred)
+        # --fulltune trains the whole backbone (main_video.py:287)
+        pred = (lambda _: True) if cfg.fulltune else self._trainable_pred
+        trainable, frozen = partition_params(params, pred)
         self.logger.info(
             f"trainable params (M): {count_params(trainable) / 1e6:.2f}")
 

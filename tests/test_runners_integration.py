@@ -40,6 +40,23 @@ def test_image_runner_one_epoch(tmp_path):
     assert any(f.name == "final_checkpoint.msgpack" for f in files)
 
 
+def test_image_runner_fulltune(tmp_path):
+    """--fulltune trains the whole backbone (reference main_image.py:254):
+    nothing stays frozen and backbone weights actually move."""
+    import numpy as np
+
+    from dynamic_tuning_tpu.train.runner import Runner
+
+    runner = Runner(_base_cfg(tmp_path).replace(fulltune=True))
+    assert not runner.state.frozen, "fulltune must leave no frozen params"
+    before = np.asarray(
+        runner.state.trainable[("blocks_0", "attn", "qkv", "kernel")])
+    runner.train_one_epoch(0)
+    after = np.asarray(
+        runner.state.trainable[("blocks_0", "attn", "qkv", "kernel")])
+    assert np.abs(after - before).max() > 0, "backbone did not train"
+
+
 def test_image_runner_resume(tmp_path):
     from dynamic_tuning_tpu.train import checkpoint as C
     from dynamic_tuning_tpu.train.runner import Runner
