@@ -37,6 +37,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--ckpt_backend", default="msgpack",
                         choices=["msgpack", "orbax"],
                         help="orbax = async sharded multi-pod saves")
+    parser.add_argument("--auto_remove", action="store_true", default=True,
+                        help="prune superseded epoch checkpoints (reference "
+                             "misc.py:316; ON by default here)")
+    parser.add_argument("--no_auto_remove", dest="auto_remove",
+                        action="store_false",
+                        help="keep every epoch checkpoint")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--eval_ckpt", type=str, default="")
     parser.add_argument("--num_workers", default=4, type=int)
@@ -111,4 +117,5 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                      resume=args.resume, finetune=args.finetune,
                      fulltune=args.fulltune, accum_iter=args.accum_iter,
                      compute_dtype=args.compute_dtype,
-                     ckpt_backend=args.ckpt_backend)
+                     ckpt_backend=args.ckpt_backend,
+                     auto_remove=args.auto_remove)

@@ -181,6 +181,9 @@ class RunConfig:
     # "msgpack" (single-file, rank-0 writes) or "orbax" (async sharded,
     # every host writes its shards -- the multi-pod path)
     ckpt_backend: str = "msgpack"
+    # prune superseded epoch checkpoints (reference --auto_remove,
+    # misc.py:316; default ON here -- pass --no_auto_remove to keep all)
+    auto_remove: bool = True
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -247,7 +247,7 @@ class Runner:
                 if cfg.output_dir and stats["metric"] >= max_metric:
                     C.save_checkpoint(cfg.output_dir, self.state, epoch,
                                       extra={"metric": stats["metric"]},
-                                      auto_remove=True,
+                                      auto_remove=cfg.auto_remove,
                                       is_main=jax.process_index() == 0,
                                       backend=cfg.ckpt_backend)
                 max_metric = max(max_metric, stats["metric"])

@@ -239,13 +239,13 @@ class SegRunner:
                     if cfg.output_dir and stats["metric"] >= max_miou:
                         C.save_checkpoint(cfg.output_dir, self.state, it,
                                           extra={"miou": stats["metric"]},
-                                          auto_remove=True,
+                                          auto_remove=cfg.auto_remove,
                                           is_main=jax.process_index() == 0,
                                           backend=cfg.ckpt_backend)
                         if self.batch_stats:
                             C.save_aux_state(
                                 cfg.output_dir, "batch_stats",
-                                self.batch_stats, it, auto_remove=True,
+                                self.batch_stats, it, auto_remove=cfg.auto_remove,
                                 is_main=jax.process_index() == 0)
                     max_miou = max(max_miou, stats["metric"])
                 if it >= self.total_iters:

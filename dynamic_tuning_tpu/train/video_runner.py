@@ -230,7 +230,7 @@ class VideoRunner:
                 if cfg.output_dir and ev["metric"] >= max_metric:
                     C.save_checkpoint(cfg.output_dir, self.state, epoch,
                                       extra={"metric": ev["metric"]},
-                                      auto_remove=True,
+                                      auto_remove=cfg.auto_remove,
                                       is_main=jax.process_index() == 0,
                                       backend=cfg.ckpt_backend)
                 max_metric = max(max_metric, ev["metric"])

@@ -33,6 +33,17 @@ def test_image_config_forwards_clip_grad():
     assert cfg.optim.weight_decay == 0.2
 
 
+def test_fulltune_and_auto_remove_roundtrip():
+    import main_image
+    from dynamic_tuning_tpu.cli import args_to_config
+
+    default = args_to_config(main_image.get_args_parser().parse_args([]))
+    assert default.fulltune is False and default.auto_remove is True
+    cfg = args_to_config(main_image.get_args_parser().parse_args(
+        ["--fulltune", "--no_auto_remove"]))
+    assert cfg.fulltune is True and cfg.auto_remove is False
+
+
 def test_seg_defaults_keep_reference_wd():
     import seg_train
     from dynamic_tuning_tpu.cli import args_to_config
