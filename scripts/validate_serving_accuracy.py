@@ -44,8 +44,12 @@ SIZE = 224
 CLASSES = 10
 
 
-def make_gratings(n, seed):
-    """10-class oriented gratings, random phase/contrast + pixel noise."""
+def make_gratings(n, seed, noise=0.4):
+    """10-class oriented gratings, random phase/contrast + pixel noise.
+
+    ``noise`` sets difficulty: 0.4 is easy (ViT-B saturates it), ~3-4
+    pushes holdout accuracy off the ceiling so serving-mode deltas can
+    flip marginal samples — the adversarial version of the check."""
     rs = np.random.RandomState(seed)
     angles = np.linspace(0, np.pi, CLASSES, endpoint=False)
     waves = 8.0 + 4.0 * np.arange(CLASSES)
@@ -56,7 +60,7 @@ def make_gratings(n, seed):
         c = ys[i]
         t = (np.cos(angles[c]) * xx + np.sin(angles[c]) * yy) / waves[c]
         g = np.sin(2 * np.pi * t + rs.uniform(0, 2 * np.pi))
-        g = g * rs.uniform(0.6, 1.0) + rs.randn(SIZE, SIZE) * 0.4
+        g = g * rs.uniform(0.6, 1.0) + rs.randn(SIZE, SIZE) * noise
         xs[i] = g.astype(np.float32)[..., None]
     return xs, ys
 
@@ -67,6 +71,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--holdout", type=int, default=512)
     ap.add_argument("--ratio", type=float, default=0.5)
+    ap.add_argument("--noise", type=float, default=0.4)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + 32px on CPU (API check only)")
     args = ap.parse_args()
@@ -109,7 +114,7 @@ def main():
     step = jax.jit(make_train_step(model_apply_fn(train_model), tx, sel),
                    donate_argnums=(0,))
 
-    pool_x, pool_y = make_gratings(2048, seed=5)
+    pool_x, pool_y = make_gratings(2048, seed=5, noise=args.noise)
     for i in range(args.steps):
         b = (i * args.batch) % (2048 - args.batch + 1)
         state, parts = step(state, jnp.asarray(pool_x[b:b + args.batch]),
@@ -118,7 +123,7 @@ def main():
             print(f"step {i}: loss {float(parts['loss']):.3f} "
                   f"keep {float(parts['keep_ratio']):.3f}", flush=True)
 
-    hx, hy = make_gratings(args.holdout, seed=77)
+    hx, hy = make_gratings(args.holdout, seed=77, noise=args.noise)
     hx = jnp.asarray(hx)
 
     # ---- eval the same params through every serving path ----
