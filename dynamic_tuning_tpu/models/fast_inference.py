@@ -109,7 +109,16 @@ def _block(x: jax.Array, p: Dict, *, num_heads: int, tuning: TuningConfig,
             [jnp.ones((B, 1), jnp.float32), (scores > select.threshold)
              .astype(jnp.float32)], axis=1)
 
-    adapt = _adapter(x, p["adaptmlp"], float(tuning.ffn_adapter_scalar))
+    if "adaptmlp" in p:
+        if tuning.ffn_adapter_scalar == "learnable_scalar":
+            # trained per-block scalar lives in the param tree
+            # (models/layers.py Adapter); shape (1,) broadcasts over up-proj
+            scale = p["adaptmlp"]["scale"].astype(BF16)
+        else:
+            scale = float(tuning.ffn_adapter_scalar)
+        adapt = _adapter(x, p["adaptmlp"], scale)
+    else:
+        adapt = 0.0
 
     mp = p["mlp"]
     ln2 = p["norm2"]
@@ -160,6 +169,15 @@ def fast_vit_forward(params: Dict, x: jax.Array, *, cfg: ModelConfig,
     """mode: "dispatch" (capacity top-k) | "mask" (dense masked) | "dense"
     (complete model).  Returns (logits [B, classes], gates [B, L, N] or None).
     """
+    if tuning.ffn_adapt and tuning.ffn_adapter_layernorm_option != "none":
+        raise ValueError(
+            "fast_vit_forward supports ffn_adapter_layernorm_option='none' "
+            "only (the in/out adapter LayerNorm params would be silently "
+            "dropped); use the flax model for that config")
+    if tuning.moe_experts and tuning.moe_experts > 1:
+        raise ValueError(
+            "fast_vit_forward does not implement the MoE adapter; "
+            "use the flax model for moe_experts > 1")
     B = x.shape[0]
     ps = cfg.patch_size
     gh = gw = cfg.img_size // ps

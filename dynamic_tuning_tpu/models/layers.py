@@ -173,6 +173,26 @@ def _fused_serving_mode() -> str:
     return os.environ.get("DYT_FUSED_ATTN", "1")
 
 
+def _attention_fusable(deterministic: bool, attn_drop: float, num_heads: int,
+                       head_dim: int, fused_mode: str) -> bool:
+    """Core applicability predicate for the Pallas fused serving kernels —
+    the ONE copy shared by ``Attention.__call__`` and ``Block.__call__`` so
+    the correctness-critical guard can't drift between them.  Callers add
+    their own shape/feature restrictions (N<=512 VMEM bound, window/
+    LayerScale/qv-bias exclusions) on top."""
+    return (deterministic and attn_drop == 0.0
+            and num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
+            and fused_mode != "0"
+            and (fused_mode == "interpret"
+                 or jax.default_backend() == "tpu"))
+
+
+def _rel_pos_table_size(wh: int, ww: int) -> int:
+    """Bias-table length for ``_relative_position_index`` WITHOUT building
+    the O(N^2) index matrix: (2wh-1)(2ww-1) relative offsets + 3 CLS slots."""
+    return (2 * wh - 1) * (2 * ww - 1) + 3
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (reference vision_transformer_IN21K.py:27-75).
 
@@ -225,11 +245,8 @@ class Attention(nn.Module):
             qkv = checkpoint_name(qkv, "attn_qkv")
 
         fused_mode = _fused_serving_mode()
-        can_fuse = (deterministic and self.attn_drop == 0.0
-                    and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
-                    and fused_mode != "0"
-                    and (fused_mode == "interpret"
-                         or jax.default_backend() == "tpu"))
+        can_fuse = _attention_fusable(deterministic, self.attn_drop,
+                                      self.num_heads, head_dim, fused_mode)
         # the unchunked per-sample core holds a [2N, N] fp32 score tile in
         # VMEM — past ~512 tokens it blows the 16 MB scoped budget inside a
         # full model (the row-chunked windowed kernel handles big N)
@@ -247,7 +264,7 @@ class Attention(nn.Module):
             # pair's [2N, N] bias tile stays VMEM-resident across the batch
             from dynamic_tuning_tpu.ops.mha_serving import mha_windowed_fused
 
-            _, table_size = _relative_position_index(*self.window_size)
+            table_size = _rel_pos_table_size(*self.window_size)
             table = self.param("relative_position_bias_table",
                                nn.initializers.zeros_init(),
                                (table_size, self.num_heads), jnp.float32)
@@ -273,7 +290,7 @@ class Attention(nn.Module):
                                    (((3,), (3,)), ((0, 1), (0, 1))),
                                    preferred_element_type=jnp.float32)
         if self.window_size is not None:
-            _, table_size = _relative_position_index(*self.window_size)
+            table_size = _rel_pos_table_size(*self.window_size)
             table = self.param("relative_position_bias_table",
                                nn.initializers.zeros_init(),
                                (table_size, self.num_heads), jnp.float32)
@@ -632,16 +649,14 @@ class Block(nn.Module):
 
         fused_mode = _fused_serving_mode()
         fuse_sublayer = (
-            deterministic and self.attn_drop == 0.0
+            _attention_fusable(deterministic, self.attn_drop,
+                               self.num_heads, head_dim, fused_mode)
             and self.window_size is None and self.init_values is None
             and not self.qv_bias_only
-            and self.num_heads % 2 == 0 and (2 * head_dim) % 128 == 0
             # [2N, N] fp32 score tile must fit the 16 MB scoped-VMEM budget
             # (big-N paths fall back to Attention / the chunked windowed
             # kernel)
-            and x.shape[1] <= 512
-            and fused_mode != "0"
-            and (fused_mode == "interpret" or jax.default_backend() == "tpu"))
+            and x.shape[1] <= 512)
         # standard parallel adapter fuses into the prologue kernel; MoE or
         # in/out-LN adapters fall back to the module path
         plain_adapter = (self.tuning.ffn_adapt

@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
@@ -108,14 +109,32 @@ class PSPModule(nn.Module):
                           name="bottleneck")(cat, training=training)
 
 
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] row-stochastic matrix realizing torch AdaptiveAvgPool1d
+    windows: output i averages input [floor(i*n/o), ceil((i+1)*n/o))."""
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        s = (i * n_in) // n_out
+        e = -((-(i + 1) * n_in) // n_out)
+        m[i, s:e] = 1.0 / (e - s)
+    return m
+
+
 def _adaptive_avg_pool(x: jax.Array, out: int) -> jax.Array:
-    """torch AdaptiveAvgPool2d equivalent for NHWC."""
+    """torch AdaptiveAvgPool2d equivalent for NHWC (exact window semantics).
+
+    Divisible dims reduce by reshape-mean; non-divisible dims (the common
+    PSP case: 16x16 feature, pool scales 3 and 6) contract against a
+    precomputed variable-window averaging matrix — identical values to
+    torch's variable-window means, and a static matmul instead of a gather.
+    """
     B, H, W, C = x.shape
-    # split into `out` nearly-equal windows via mean over reshaped bins when
-    # divisible; otherwise use resize-area style averaging
     if H % out == 0 and W % out == 0:
         return x.reshape(B, out, H // out, out, W // out, C).mean(axis=(2, 4))
-    return jax.image.resize(x, (B, out, out, C), method="linear")
+    mh = jnp.asarray(_adaptive_pool_matrix(H, out), x.dtype)
+    mw = jnp.asarray(_adaptive_pool_matrix(W, out), x.dtype)
+    pooled = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, pooled)
 
 
 class UPerHead(nn.Module):

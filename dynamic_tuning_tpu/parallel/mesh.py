@@ -50,11 +50,20 @@ _TP_RULES = [
 ]
 
 
-def param_spec(path: str, shape: tuple) -> P:
+def param_spec(path: str, shape: tuple,
+               model_parallel: Optional[int] = None) -> P:
+    """TP rule lookup for one param leaf.
+
+    When ``model_parallel`` is given, a matched spec whose sharded dimension
+    is out of range or doesn't divide by it falls back to replication —
+    tiny dims (bottleneck=8..64) may not divide; replicate those."""
     for pat, spec in _TP_RULES:
         if re.fullmatch(pat, path):
-            # only shard when the dimension actually divides; tiny dims
-            # (bottleneck=8..64) may not — replicate those.
+            if model_parallel is not None:
+                for dim, axis in enumerate(spec):
+                    if axis is not None and (dim >= len(shape)
+                                             or shape[dim] % model_parallel):
+                        return P()
             return spec
     return P()
 
@@ -65,13 +74,7 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
 
     def one(path, leaf):
         pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
-        spec = param_spec(pathstr, leaf.shape)
-        # validate divisibility; fall back to replication
-        for dim, axis in enumerate(spec):
-            if axis is not None and leaf.shape[dim] % tp != 0:
-                spec = P()
-                break
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, param_spec(pathstr, leaf.shape, tp))
 
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -162,11 +165,7 @@ def _path_to_spec(mesh: Mesh, path, shape) -> P:
     for k in path:
         key = getattr(k, "key", None)
         if isinstance(key, tuple):
-            spec = param_spec("/".join(str(x) for x in key), shape)
-            for dim, axis in enumerate(spec):
-                if axis is not None and (dim >= len(shape) or shape[dim] % tp != 0):
-                    return P()
-            return spec
+            return param_spec("/".join(str(x) for x in key), shape, tp)
     return P()
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,15 +163,30 @@ class Runner:
         self.train_loader.set_epoch(epoch)
         ml = MetricLogger(logger=self.logger)
         header = f"Epoch: [{epoch}]"
+        # Materialize step i-1's scalars only after step i is dispatched:
+        # float() blocks until the device finishes, so flushing the PREVIOUS
+        # step keeps one step always in flight (host aug/IO overlaps device
+        # compute) instead of serializing host and device every iteration.
+        # Logged meters run one step stale; the epoch averages are exact.
+        step0 = int(self.state.step)  # one sync per epoch, not per step
+        pending: Optional[Tuple[Dict, int]] = None
+        i = 0
+
+        def flush(parts, step):
+            ml.update(**{k: float(v) for k, v in parts.items()})
+            if self.writer is not None and step % 20 == 0:
+                e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
+                self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+
         for imgs, labels in ml.log_every(self.train_loader, 20, header):
             xb, yb = self._device_batch(imgs, labels, train=True)
             self.state, parts = self.train_step(self.state, xb, yb)
-            ml.update(**{k: float(v) for k, v in parts.items()})
-            if self.writer is not None:
-                step = int(self.state.step)
-                if step % 20 == 0:
-                    e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
-                    self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+            if pending is not None:
+                flush(*pending)
+            i += 1
+            pending = (parts, step0 + i)
+        if pending is not None:
+            flush(*pending)
         return {k: m.global_avg for k, m in ml.meters.items()}
 
     def evaluate(self) -> Dict[str, float]:

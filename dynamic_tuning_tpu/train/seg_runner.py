@@ -222,6 +222,7 @@ class SegRunner:
         it = self.start_iter
         max_miou, t0 = self.max_miou, time.time()
         epoch = 0
+        pending = None
         while it < self.total_iters:
             self.train_loader.set_epoch(epoch)
             for imgs, anns in self.train_loader:
@@ -230,11 +231,18 @@ class SegRunner:
                 xb, yb = M.shard_batch(self.mesh, (xb, yb))
                 self.state, self.batch_stats, parts = self.train_step(
                     self.state, self.batch_stats, xb, yb)
-                ml.update(**{k: float(v) for k, v in parts.items()})
+                # flush the PREVIOUS iter's scalars so one step stays in
+                # flight (see Runner.train_one_epoch); the iter-50 log line
+                # runs one step stale, eval/checkpoint boundaries are exact
+                if pending is not None:
+                    ml.update(**{k: float(v) for k, v in pending.items()})
+                pending = parts
                 it += 1
                 if it % 50 == 0:
                     self.logger.info(f"iter {it}/{self.total_iters} {ml}")
                 if it % self.eval_interval == 0 or it == self.total_iters:
+                    ml.update(**{k: float(v) for k, v in pending.items()})
+                    pending = None
                     stats = self.evaluate()
                     if cfg.output_dir and stats["metric"] >= max_miou:
                         C.save_checkpoint(cfg.output_dir, self.state, it,

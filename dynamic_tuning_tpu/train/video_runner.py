@@ -131,6 +131,7 @@ class VideoRunner:
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         ml = MetricLogger(logger=self.logger)
+        pending = None
         for clips, labels in ml.log_every(self.train_loader, 20,
                                           f"Epoch: [{epoch}]"):
             self.aug_rng, k = jax.random.split(self.aug_rng)
@@ -142,7 +143,13 @@ class VideoRunner:
                                     resize_type=self.cfg.data.train_resize_type)
             xb, yb = M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))
             self.state, parts = self.train_step(self.state, xb, yb)
-            ml.update(**{k2: float(v) for k2, v in parts.items()})
+            # flush the PREVIOUS step's scalars so one step stays in flight
+            # (see Runner.train_one_epoch); meters run one step stale
+            if pending is not None:
+                ml.update(**{k2: float(v) for k2, v in pending.items()})
+            pending = parts
+        if pending is not None:
+            ml.update(**{k2: float(v) for k2, v in pending.items()})
         return {k2: m.global_avg for k2, m in ml.meters.items()}
 
     def evaluate(self, save_views_dir: str | None = None) -> Dict[str, float]:

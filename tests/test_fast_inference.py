@@ -75,3 +75,51 @@ def test_fast_pallas_interpret_matches_jnp(setup):
                             mode="dispatch", use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                atol=2e-2)
+
+def test_fast_path_honors_learnable_scalar():
+    """ffn_adapter_scalar='learnable_scalar' reads the trained per-block
+    scale param instead of float()-crashing (review finding)."""
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=2, num_heads=4)
+    tuning = TuningConfig(ffn_num=8, d_model=64, dropout=0.0,
+                          ffn_adapter_scalar="learnable_scalar")
+    sel = SelectConfig()
+    model = VisionTransformer(cfg, tuning=tuning, select=sel,
+                              dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    # a non-trivial trained value: wrong handling (ignoring the param)
+    # would show up as a logits mismatch
+    for i in range(cfg.depth):
+        params[f"blocks_{i}"]["adaptmlp"]["scale"] = jnp.full((1,), 0.7)
+        params[f"blocks_{i}"]["adaptmlp"]["up_proj"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(2 + i), (8, 64)) * 0.1)
+        params[f"blocks_{i}"]["mlp_token_select"]["mlp_head"]["kernel"] = (
+            params[f"blocks_{i}"]["mlp_token_select"]["mlp_head"]["kernel"] * 60)
+    ref, _ = model.apply({"params": params}, x)
+    got, _ = fast_vit_forward(params, x, cfg=cfg, tuning=tuning,
+                              select=sel, mode="mask", use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+    # and the scale actually matters: zeroing it changes the output
+    for i in range(cfg.depth):
+        params[f"blocks_{i}"]["adaptmlp"]["scale"] = jnp.zeros((1,))
+    got0, _ = fast_vit_forward(params, x, cfg=cfg, tuning=tuning,
+                               select=sel, mode="mask", use_pallas=False)
+    assert np.abs(np.asarray(got0) - np.asarray(got)).max() > 1e-3
+
+
+def test_fast_path_rejects_unsupported_adapter_configs():
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=1, num_heads=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="layernorm_option"):
+        fast_vit_forward({}, x, cfg=cfg,
+                         tuning=TuningConfig(ffn_num=8, d_model=64,
+                                             ffn_adapter_layernorm_option="in"),
+                         select=SelectConfig(), mode="dense")
+    with pytest.raises(ValueError, match="MoE"):
+        fast_vit_forward({}, x, cfg=cfg,
+                         tuning=TuningConfig(ffn_num=8, d_model=64,
+                                             moe_experts=4),
+                         select=SelectConfig(), mode="dense")

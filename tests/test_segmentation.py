@@ -176,3 +176,22 @@ def test_segmentor_head_channels_opt_in():
     logits, aux_logits, _ = slim.apply({"params": p_slim}, x)
     assert logits.shape == (2, 64, 64, 7)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_adaptive_avg_pool_matches_torch_nondivisible():
+    """PSP pooling at the standard crop hits non-divisible scales (16x16
+    feature, scales 3 and 6); the variable-window matrix path must equal
+    torch AdaptiveAvgPool2d exactly, not a bilinear approximation
+    (review finding; reference mmseg PPM uses nn.AdaptiveAvgPool2d)."""
+    import torch
+
+    from dynamic_tuning_tpu.models.upernet import _adaptive_avg_pool
+
+    rs = np.random.RandomState(0)
+    for hw, out in [(16, 3), (16, 6), (16, 1), (16, 2), (15, 4), (7, 5)]:
+        x = rs.randn(2, hw, hw, 5).astype(np.float32)
+        got = np.asarray(_adaptive_avg_pool(jnp.asarray(x), out))
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), out
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
