@@ -135,6 +135,13 @@ class VideoVisionTransformer(nn.Module):
                  ) -> Tuple[jax.Array, Dict[str, Optional[jax.Array]]]:
         cfg = self.cfg
         B, T = x.shape[0], x.shape[1]
+        if self.select.open and not cfg.class_token:
+            # same silent budget corruption as the image model (see
+            # VisionTransformer.__call__): routing semantics assume a CLS
+            # token at position 0 of every frame group
+            raise ValueError(
+                "token routing (select.open=True) requires class_token=True;"
+                " use select.open=False for CLS-free video models")
         if cfg.tubelet_size > 1:
             # VideoMAE-style tubelet stem: each token covers tubelet_size
             # frames; the per-frame DyT blocks then run per frame GROUP

@@ -91,6 +91,16 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         B = x.shape[0]
 
+        if self.select.open and not cfg.class_token:
+            # TokenSelect scores x[:, 1:], the dispatcher force-keeps
+            # position 0, and the gate stack / FLOPs accounting strip it as
+            # CLS — without a CLS token those semantics silently corrupt the
+            # budget (first patch unroutable, keep_ratio/GFLOPs skewed).
+            # The reference likewise only routes with CLS present
+            # (models/dynamic_adapter.py:58-77).
+            raise ValueError(
+                "token routing (select.open=True) requires class_token=True;"
+                " use select.open=False for CLS-free (avg-pool) models")
         x = PatchEmbed(cfg.patch_size, cfg.embed_dim, quant=cfg.quant,
                        dtype=self.dtype,
                        name="patch_embed")(x.astype(self.dtype),

@@ -11,8 +11,9 @@ bigger backbone needs it (ViT-B itself runs DP-only, model_parallel=1).
 
 from __future__ import annotations
 
+import math
 import re
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -123,6 +124,76 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def eval_pad_count(mesh: Mesh, n_items: int, rows_per_item: int = 1) -> int:
+    """Items to append to a per-process eval batch so ``shard_batch``
+    accepts its flattened rows in multi-process mode.
+
+    Multi-process ``shard_batch`` needs (rows * processes) divisible by the
+    data axis; train loaders guarantee it via drop_last, but eval tail
+    batches don't (review finding: a 68-row tail over 32 devices x 4
+    processes aborted evaluation).  Callers pad items (label sentinel -1)
+    and drop the padded rows after ``host_local_rows`` readback.  Every
+    process sees the same tail size (the loader pads shards to equal
+    length), so the padded shapes stay lockstep across hosts."""
+    if jax.process_count() <= 1:
+        return 0  # single process replicates non-dividing leaves instead
+    per = rows_per_item * jax.process_count()
+    dp = mesh.shape[DATA_AXIS]
+    m = dp // math.gcd(dp, per)
+    return (-n_items) % m
+
+
+def pad_eval_batch(mesh: Mesh, items: "np.ndarray", labels,
+                   rows_per_item: int = 1) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Pad a per-process eval batch per ``eval_pad_count``: repeat the last
+    item, append sentinel ``-1`` labels (always int64 so the sentinel can't
+    wrap on unsigned label dtypes).  After ``host_local_rows`` readback,
+    callers drop rows where the label is negative."""
+    labels = np.asarray(labels).astype(np.int64)
+    pad = eval_pad_count(mesh, len(labels), rows_per_item)
+    if pad:
+        items = np.concatenate([items, np.repeat(items[-1:], pad, axis=0)])
+        labels = np.concatenate([labels, np.full(pad, -1, np.int64)])
+    return items, labels
+
+
+def localize_tree(tree, device: Optional[jax.Device] = None):
+    """Full host-local copy of a (possibly globally-sharded) pytree, placed
+    on one local device.
+
+    Enables per-process eval loops whose jit-launch counts differ across
+    hosts — e.g. segmentation slide inference, where each process evaluates
+    different-sized images with size-dependent tile counts.  Running those
+    against global-mesh-sharded params would require lockstep launches on
+    every host (divergence deadlocks inside the collectives); localizing
+    the params once makes each launch a purely process-local program.
+
+    Replicated leaves read back for free from a local shard; genuinely
+    sharded leaves are allgathered via one jitted identity with replicated
+    out-sharding (all processes must call this function together)."""
+    device = device or jax.local_devices()[0]
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+    def needs_gather(x):
+        return (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.sharding.is_fully_replicated)
+
+    gather = [x for x in leaves if needs_gather(x)]
+    if gather:
+        mesh0 = gather[0].sharding.mesh
+        rep = jax.jit(lambda xs: xs,
+                      out_shardings=NamedSharding(mesh0, P()))(gather)
+        gathered = iter(rep)
+    out = []
+    for x in leaves:
+        if needs_gather(x):
+            x = next(gathered)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = np.asarray(x.addressable_shards[0].data)
+        out.append(jax.device_put(x, device))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def host_local_rows(x) -> "np.ndarray":
     """Materialize the caller-process's rows of a batch-sharded array.
 
@@ -132,8 +203,6 @@ def host_local_rows(x) -> "np.ndarray":
     counterpart of ``shard_batch``.  Pairing between two arrays produced
     under the same sharding (e.g. eval logits and labels) is preserved
     because both expose their shards in the same order."""
-    import numpy as np
-
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     # dedup replicas (a model-parallel axis replicates each row shard) and

@@ -195,15 +195,20 @@ class Runner:
         layer_keep = None
         gflops_sum, gflops_n = 0.0, 0
         for imgs, labels in self.val_loader:
+            # multi-process tail batches: pad to a device multiple with
+            # sentinel -1 labels, dropped after readback (mesh.pad_eval_batch)
+            imgs, labels = M.pad_eval_batch(self.mesh, imgs, labels)
             xb, yb = self._device_batch(imgs, labels, train=False)
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
             # host-local rows: np.asarray on a cross-process-sharded array
             # raises; each host keeps its own rows, allgathered below
-            all_logits.append(M.host_local_rows(logits))
-            all_labels.append(M.host_local_rows(yb))
+            lb = M.host_local_rows(yb)
+            valid = lb >= 0
+            all_logits.append(M.host_local_rows(logits)[valid])
+            all_labels.append(lb[valid])
             if token_select is not None:
-                ts = M.host_local_rows(token_select).astype(np.float64)
+                ts = M.host_local_rows(token_select).astype(np.float64)[valid]
                 keep_sum += ts.sum()
                 keep_n += ts.size
                 per_layer = ts.mean(axis=(0, 2, 3))   # [L]

@@ -195,6 +195,14 @@ class SegRunner:
 
     def evaluate(self, max_images: int | None = None) -> Dict[str, float]:
         params = self._eval_variables()
+        if jax.process_count() > 1:
+            # Each process evaluates a DIFFERENT subset of different-sized
+            # images, so slide-tile jit-launch counts diverge across hosts.
+            # Against mesh-sharded params every launch is a global program
+            # (divergence deadlocks); localize the params once per eval so
+            # each launch is purely process-local (review finding).  The
+            # final confusion-matrix allgather below is the only collective.
+            params = M.localize_tree(params)
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         n = len(self.val_ds) if max_images is None else min(max_images,
                                                             len(self.val_ds))

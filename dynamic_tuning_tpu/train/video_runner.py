@@ -165,6 +165,10 @@ class VideoRunner:
              // max(self.model_cfg.tubelet_size, 1))
         clip_offset = 0
         for clips, labels in self.val_loader:
+            # multi-process tail batches: pad whole clips (V rows each) to a
+            # device multiple, sentinel -1 labels dropped after readback
+            clips, labels = M.pad_eval_batch(self.mesh, clips, labels,
+                                             rows_per_item=clips.shape[1])
             B, V = clips.shape[0], clips.shape[1]
             flat = jnp.asarray(clips).reshape(B * V, *clips.shape[2:])
             xb = augment_clip_batch(jax.random.PRNGKey(0), flat,
@@ -179,19 +183,30 @@ class VideoRunner:
             (xb,) = M.shard_batch(self.mesh, (xb,))
             logits, token_select = self.eval_step(
                 self.state.trainable, self.state.frozen, xb)
-            per_view = M.host_local_rows(logits).reshape(B, V, -1)
+            valid = labels >= 0
+            labels = labels[valid]
+            per_view = M.host_local_rows(logits).reshape(B, V, -1)[valid]
+            nB = len(labels)
             if save_views_dir:
                 from dynamic_tuning_tpu.utils.multiview import save_view_outputs
-                ids = np.repeat(np.arange(clip_offset, clip_offset + B), V)
-                save_view_outputs(save_views_dir, jax.process_index(), ids,
-                                  per_view.reshape(B * V, -1),
-                                  np.repeat(np.asarray(labels), V))
-            clip_offset += B
+                # GLOBAL clip ids: the val loader strided-shards clips
+                # (rank r gets global clips r, r+pc, ...), and
+                # merge_view_outputs groups by raw id across all rank files
+                # — local ids would alias different clips across ranks
+                local_pos = np.arange(clip_offset, clip_offset + nB)
+                gids = local_pos * jax.process_count() + jax.process_index()
+                save_view_outputs(save_views_dir, jax.process_index(),
+                                  np.repeat(gids, V),
+                                  per_view.reshape(nB * V, -1),
+                                  np.repeat(labels, V))
+            clip_offset += nB
             logits = per_view.mean(axis=1)
             all_logits.append(logits)
-            all_labels.append(np.asarray(labels))
+            all_labels.append(labels)
             if token_select is not None:
                 ts = M.host_local_rows(token_select)  # [(B*V*T), L, N-1, 1]
+                ts = ts.reshape(B, -1, *ts.shape[1:])[valid]
+                ts = ts.reshape(-1, *ts.shape[2:])
                 keeps.append(ts.mean())
                 g = batch_select_flops(
                     ts, T=self.model_cfg.seq_len,

@@ -82,6 +82,38 @@ _WORKER = textwrap.dedent("""
     (x,) = M.shard_batch(mesh, (local,))
     assert x.shape == (8, 3), x.shape        # global batch = 4 * 2 processes
     total = jax.jit(lambda a: a.sum())(x)
+
+    # --- eval tail batch: 3 rows/process over 4 devices doesn't divide;
+    # pad with sentinel -1 labels, drop after host-local readback
+    imgs = np.full((3, 2), rank + 1.0, np.float32)
+    labels = np.arange(3, dtype=np.int64) + 10 * rank
+    pad = M.eval_pad_count(mesh, len(labels))
+    assert pad == 1, pad                     # (3+1)*2 % 4 == 0
+    imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+    labels = np.concatenate([labels, np.full(pad, -1, np.int64)])
+    xb, yb = M.shard_batch(mesh, (imgs, labels))
+    logits = jax.jit(lambda a: a * 2.0)(xb)
+    lb = M.host_local_rows(yb)
+    valid = lb >= 0
+    got = M.host_local_rows(logits)[valid]
+    assert got.shape == (3, 2) and np.all(got == (rank + 1.0) * 2), got
+    assert list(lb[valid]) == [10 * rank, 10 * rank + 1, 10 * rank + 2]
+
+    # --- localize_tree: TP-sharded leaf allgathers to a full local copy,
+    # after which jit-launch counts may diverge across hosts (seg eval)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    tp_mesh = M.make_mesh(model_parallel=2)
+    full = np.arange(24, dtype=np.float32).reshape(4, 6)
+    w = jax.make_array_from_process_local_data(
+        NamedSharding(tp_mesh, P(None, "model")), full)
+    assert not w.is_fully_addressable
+    local_tree = M.localize_tree({"w": w, "b": np.ones(6, np.float32)})
+    assert np.array_equal(np.asarray(local_tree["w"]), full)
+    f = jax.jit(lambda t, v: (v @ t["w"].T).sum() + t["b"].sum())
+    for _ in range(2 + rank):   # DIVERGENT launch counts: local-only programs
+        out = f(local_tree, np.ones((2, 6), np.float32))
+    assert float(out) == float((np.ones((2, 6)) @ full.T).sum() + 6)
+
     print("TOTAL", float(total), flush=True)  # 4*3*1 + 4*3*2 = 36
 """)
 

@@ -153,3 +153,27 @@ def test_remat_scores_video_and_seg_backbones(tiny_model_cfg, tiny_tuning_cfg):
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_routing_requires_class_token():
+    """class_token=False + routing silently corrupted budgets (TokenSelect
+    scores x[:,1:], dispatch pins position 0, gate stack strips it) — must
+    fail loud instead (review finding)."""
+    import pytest
+
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=2, num_heads=4, class_token=False,
+                      global_pool="avg")
+    model = VisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
+                              select=SelectConfig(open=True),
+                              dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="class_token"):
+        model.init(jax.random.PRNGKey(0), x)
+    # CLS-free works with routing off (dense avg-pool model)
+    dense = VisionTransformer(cfg, tuning=TuningConfig(ffn_num=8, d_model=64),
+                              select=SelectConfig(open=False),
+                              dtype=jnp.float32)
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    logits, aux = dense.apply({"params": params}, x)
+    assert logits.shape == (1, 10) and aux["token_select"] is None
