@@ -47,7 +47,8 @@ class Runner:
         self.cfg = cfg
         self.logger = create_logger(cfg.output_dir, jax.process_index())
         self.writer = (TensorBoardWriter(cfg.output_dir)
-                       if jax.process_index() == 0 else None)
+                       if cfg.output_dir and jax.process_index() == 0
+                       else None)
         self.mesh = M.make_mesh(cfg.mesh.model_parallel)
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
