@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
+
+from dynamic_tuning_tpu.data._native_build import build_and_load
 
 _LIB = None
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -28,28 +29,8 @@ def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-        # per-process temp + atomic rename: concurrent processes racing g++
-        # on one .so path cause sporadic CDLL failures (same fix as
-        # native_video._load)
-        tmp = f"{_SO}.{os.getpid()}.tmp"
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp,
-                 "-ljpeg", "-lpng", "-lpthread"],
-                check=True, capture_output=True)
-            os.replace(tmp, _SO)
-        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
-            if os.path.exists(tmp):
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    lib = build_and_load(_SRC, _SO, ["-ljpeg", "-lpng", "-lpthread"])
+    if lib is None:
         return None
     lib.dyt_loader_create.restype = ctypes.c_void_p
     lib.dyt_loader_create.argtypes = [
@@ -65,6 +46,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32)]
     lib.dyt_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.dyt_loader_decode_failures.restype = ctypes.c_int64
+    lib.dyt_loader_decode_failures.argtypes = [ctypes.c_void_p]
+    lib.dyt_loader_error.restype = ctypes.c_int
+    lib.dyt_loader_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int]
     lib.dyt_decode_resize.restype = ctypes.c_int
     lib.dyt_decode_resize.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                       ctypes.c_int,
@@ -128,12 +114,24 @@ class NativeDataLoader:
         self._lib.dyt_loader_start_epoch(self._handle, self.epoch)
         imgs = np.zeros((self.batch_size, self.canvas, self.canvas, 3), np.uint8)
         labels = np.zeros((self.batch_size,), np.int32)
+        fails0 = self._lib.dyt_loader_decode_failures(self._handle)
         while True:
             n = self._lib.dyt_loader_next(
                 self._handle,
                 imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if n < 0:  # a worker thread died on a C++ exception
+                buf = ctypes.create_string_buffer(512)
+                self._lib.dyt_loader_error(self._handle, buf, 512)
+                raise RuntimeError(
+                    f"native loader worker failed: {buf.value.decode()}")
             if n == 0:
+                fails = self._lib.dyt_loader_decode_failures(self._handle)
+                if fails > fails0:
+                    import logging
+                    logging.getLogger("dyt").warning(
+                        "native loader zero-filled %d undecodable image(s) "
+                        "this epoch", fails - fails0)
                 return
             yield imgs[:n].copy(), labels[:n].copy()
 

@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+from dynamic_tuning_tpu.data._native_build import build_and_load
 
 _LIB = None
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -28,28 +29,9 @@ def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-        # Compile to a per-process temp path and publish with an atomic
-        # rename: concurrent DataLoader workers may all trigger the build,
-        # and racing g++ writes to one .so path cause sporadic CDLL failures.
-        tmp = f"{_SO}.{os.getpid()}.tmp"
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp,
-                 "-lavformat", "-lavcodec", "-lavutil", "-lswscale"],
-                check=True, capture_output=True)
-            os.replace(tmp, _SO)
-        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
-            if os.path.exists(tmp):
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    lib = build_and_load(_SRC, _SO,
+                         ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"])
+    if lib is None:
         return None
     lib.dyt_video_probe.restype = ctypes.c_int
     lib.dyt_video_probe.argtypes = [
@@ -67,8 +49,19 @@ def available() -> bool:
     return _load() is not None
 
 
+# Probe results are immutable for the life of a training run, but a clip is
+# probed once for frame-count sampling and again inside read_frames for h/w;
+# on metadata-poor containers the fallback demuxes the WHOLE file to count
+# packets — cache so each path is probed once per process.
+_PROBE_CACHE: Dict[str, Tuple[int, int, int]] = {}
+_PROBE_CACHE_MAX = 65536
+
+
 def probe(path: str) -> Tuple[int, int, int]:
     """-> (num_frames, height, width); raises on unreadable files."""
+    hit = _PROBE_CACHE.get(path)
+    if hit is not None:
+        return hit
     lib = _load()
     if lib is None:
         raise RuntimeError("native video decoder unavailable")
@@ -78,12 +71,21 @@ def probe(path: str) -> Tuple[int, int, int]:
     if lib.dyt_video_probe(path.encode(), ctypes.byref(n), ctypes.byref(h),
                            ctypes.byref(w)) != 0:
         raise IOError(f"cannot probe video: {path}")
-    return n.value, h.value, w.value
+    if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+        _PROBE_CACHE.clear()
+    _PROBE_CACHE[path] = (n.value, h.value, w.value)
+    return _PROBE_CACHE[path]
 
 
 def read_frames(path: str, want: List[int]) -> Dict[int, np.ndarray]:
     """-> {index: RGB uint8 HxWx3} at full resolution — the same contract
-    as the decord/av/cv2 readers in data/video.py."""
+    as the decord/av/cv2 readers in data/video.py.
+
+    Indices past the real end of stream come back clamped to the last
+    decoded frame (done in C++, matching the Python backends' np.minimum
+    clamp).  A stream yielding zero decodable frames returns {} so
+    VideoDataset._decode zero-fills, like the other backends; only an
+    unopenable file raises."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native video decoder unavailable")
@@ -94,11 +96,6 @@ def read_frames(path: str, want: List[int]) -> Dict[int, np.ndarray]:
     filled = lib.dyt_video_decode(
         path.encode(), idx, len(order),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w)
-    if filled <= 0:
+    if filled < 0:
         raise IOError(f"cannot decode video: {path}")
-    frames = {i: buf[j] for j, i in enumerate(order[:filled])}
-    if filled < len(order):  # degenerate stream: clamp to last decoded
-        last = frames[order[filled - 1]]
-        for i in order[filled:]:
-            frames[i] = last
-    return frames
+    return {i: buf[j] for j, i in enumerate(order[:filled])}

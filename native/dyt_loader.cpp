@@ -17,7 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -66,6 +66,10 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
+  if (size_t(out->w) * out->h > size_t(100) * 1000 * 1000) {
+    jpeg_destroy_decompress(&cinfo);  // corrupt-header guard (see PNG path)
+    return false;
+  }
   out->data.resize(size_t(out->w) * out->h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
@@ -76,14 +80,18 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
   return true;
 }
 
-bool decode_png(const char* path, Image* out) {
+bool decode_png_mem(const uint8_t* buf, size_t len, Image* out) {
   png_image img;
   memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_file(&img, path)) return false;
+  if (!png_image_begin_read_from_memory(&img, buf, len)) return false;
   img.format = PNG_FORMAT_RGB;
   out->w = img.width;
   out->h = img.height;
+  // adversarial-header guard: cap at ~100 MP so a corrupt 65500x65500
+  // header fails the decode (zero-filled + counted) instead of throwing
+  // bad_alloc out of the worker thread
+  if (size_t(out->w) * out->h > size_t(100) * 1000 * 1000) return false;
   out->data.resize(PNG_IMAGE_SIZE(img));
   if (!png_image_finish_read(&img, nullptr, out->data.data(), 0, nullptr)) {
     png_image_free(&img);
@@ -98,6 +106,10 @@ bool read_file(const std::string& path, std::vector<uint8_t>* buf) {
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (n <= 0) {  // special files (FIFO/dir) report -1; don't resize(-1)
+    fclose(f);
+    return false;
+  }
   buf->resize(n);
   size_t got = fread(buf->data(), 1, n, f);
   fclose(f);
@@ -105,14 +117,12 @@ bool read_file(const std::string& path, std::vector<uint8_t>* buf) {
 }
 
 bool decode_any(const std::string& path, Image* out) {
-  if (path.size() > 4 &&
-      (!strcasecmp(path.c_str() + path.size() - 4, ".png"))) {
-    return decode_png(path.c_str(), out);
-  }
+  // one read, magic-byte dispatch (extensions lie; the buffer feeds both
+  // decoders so PNGs aren't read from disk twice)
   std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return false;
-  if (buf.size() > 8 && buf[0] == 0x89 && buf[1] == 'P')
-    return decode_png(path.c_str(), out);
+  if (!read_file(path, &buf) || buf.size() < 12) return false;
+  if (buf[0] == 0x89 && buf[1] == 'P')
+    return decode_png_mem(buf.data(), buf.size(), out);
   return decode_jpeg(buf.data(), buf.size(), out);
 }
 
@@ -183,12 +193,20 @@ struct Loader {
   std::atomic<int64_t> next_batch{0};
   int64_t num_batches = 0;
 
-  std::deque<Batch> queue;
+  // Batches are emitted in INDEX order regardless of worker completion
+  // order: `ready` reorders, `next_emit` is the consumer cursor.  In-order
+  // emission is load-bearing for multi-host eval — every process must see
+  // the short tail batch at the SAME step or the global-array assembly in
+  // shard_batch gets mismatched shapes across hosts (review finding).
+  std::map<int64_t, Batch> ready;
+  int64_t next_emit = 0;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<int> active_workers{0};
+  std::atomic<int64_t> decode_failures{0};
+  std::string error;  // first worker exception, surfaced via loader_next
 
   void build_order(int epoch) {
     // full index space (shuffled or sequential), padded to a multiple of
@@ -214,6 +232,28 @@ struct Loader {
   }
 
   void worker() {
+    try {
+      worker_loop();
+    } catch (const std::exception& e) {
+      // never let an exception escape the thread (std::terminate would
+      // abort the whole training process); surface it to the consumer
+      std::lock_guard<std::mutex> lk(mu);
+      if (error.empty()) error = e.what();
+      stop = true;
+      cv_push.notify_all();
+    } catch (...) {
+      std::lock_guard<std::mutex> lk(mu);
+      if (error.empty()) error = "unknown C++ exception in loader worker";
+      stop = true;
+      cv_push.notify_all();
+    }
+    if (active_workers.fetch_sub(1) == 1) {
+      std::lock_guard<std::mutex> lk(mu);
+      cv_pop.notify_all();
+    }
+  }
+
+  void worker_loop() {
     const size_t img_bytes = size_t(canvas) * canvas * 3;
     while (!stop) {
       const int64_t b = next_batch.fetch_add(1);
@@ -232,17 +272,26 @@ struct Loader {
           uint8_t* out = batch.images.data() + size_t(i - start) * img_bytes;
           if (square) resize_square(img, canvas, out);
           else resize_center_crop(img, canvas, out);
+        } else {
+          // policy (pinned by tests): zero-fill and keep going, but COUNT
+          // it and warn — silent black images skew training invisibly
+          const int64_t k = decode_failures.fetch_add(1);
+          if (k < 20)
+            fprintf(stderr, "dyt_loader: decode failed (zero-filled): %s\n",
+                    paths[idx].c_str());
+          else if (k == 20)
+            fprintf(stderr, "dyt_loader: further decode failures muted; "
+                            "query dyt_loader_decode_failures()\n");
         }
         batch.labels[i - start] = labels[idx];
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv_push.wait(lk, [&] { return int(queue.size()) < prefetch || stop; });
+      // bounded reorder window: a batch may only park once the consumer is
+      // within `prefetch` of it.  The smallest outstanding index always
+      // equals next_emit, so it is always admissible — no deadlock.
+      cv_push.wait(lk, [&] { return stop || b < next_emit + prefetch; });
       if (stop) break;
-      queue.push_back(std::move(batch));
-      cv_pop.notify_one();
-    }
-    if (active_workers.fetch_sub(1) == 1) {
-      std::lock_guard<std::mutex> lk(mu);
+      ready.emplace(b, std::move(batch));
       cv_pop.notify_all();
     }
   }
@@ -251,22 +300,30 @@ struct Loader {
     join_workers();
     build_order(epoch);
     stop = false;
-    queue.clear();
+    ready.clear();
+    next_emit = 0;
+    {  // don't carry a previous epoch's error into the new one
+      std::lock_guard<std::mutex> lk(mu);
+      error.clear();
+    }
     active_workers = threads;
     for (int t = 0; t < threads; ++t)
       workers.emplace_back([this] { worker(); });
   }
 
-  // returns actual sample count, 0 at end of epoch
+  // returns actual sample count, 0 at end of epoch, -1 on worker error
+  // (message via dyt_loader_error)
   int next(uint8_t* out_images, int32_t* out_labels) {
     std::unique_lock<std::mutex> lk(mu);
     cv_pop.wait(lk, [&] {
-      return !queue.empty() || active_workers == 0;
+      return ready.count(next_emit) || active_workers == 0;
     });
-    if (queue.empty()) return 0;
-    Batch b = std::move(queue.front());
-    queue.pop_front();
-    cv_push.notify_one();
+    auto it = ready.find(next_emit);
+    if (it == ready.end()) return error.empty() ? 0 : -1;
+    Batch b = std::move(it->second);
+    ready.erase(it);
+    ++next_emit;
+    cv_push.notify_all();
     lk.unlock();
     memcpy(out_images, b.images.data(), b.images.size());
     memcpy(out_labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
@@ -274,7 +331,13 @@ struct Loader {
   }
 
   void join_workers() {
-    stop = true;
+    {
+      // set stop UNDER the mutex: a worker between its predicate check and
+      // blocking on cv_push would otherwise miss this notify forever and
+      // hang the join (classic missed-wakeup race)
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
     cv_push.notify_all();
     for (auto& t : workers) t.join();
     workers.clear();
@@ -327,6 +390,22 @@ void dyt_loader_destroy(void* handle) {
   auto* L = static_cast<Loader*>(handle);
   L->join_workers();
   delete L;
+}
+
+// cumulative decode failures (zero-filled images) since creation
+int64_t dyt_loader_decode_failures(void* handle) {
+  return static_cast<Loader*>(handle)->decode_failures.load();
+}
+
+// copy the first worker-exception message into buf; returns its length
+// (0 = no error)
+int dyt_loader_error(void* handle, char* buf, int len) {
+  auto* L = static_cast<Loader*>(handle);
+  std::lock_guard<std::mutex> lk(L->mu);
+  const int n = int(std::min(L->error.size(), size_t(len > 0 ? len - 1 : 0)));
+  if (n > 0) memcpy(buf, L->error.data(), n);
+  if (len > 0) buf[n] = '\0';
+  return int(L->error.size());
 }
 
 // standalone single-image decode (for tests / ad-hoc use)

@@ -92,42 +92,62 @@ int dyt_video_probe(const char* path, int* num_frames, int* h, int* w) {
 // wanted slots filled, or -1 on open/decode failure.
 int dyt_video_decode(const char* path, const int* want, int n,
                      uint8_t* out, int h, int w) {
-  if (n <= 0) return 0;
+  if (n <= 0 || h <= 0 || w <= 0) return n <= 0 ? 0 : -1;
   Opened v;
   if (!v.open(path)) return -1;
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
+  AVFrame* last_dec = av_frame_alloc();  // ref to the LAST decoded frame,
+                                         // kept for end-of-stream clamping
   SwsContext* sws = nullptr;
   const int last_want = want[n - 1];
   int idx = 0;        // decoded-frame counter
   int next = 0;       // next wanted slot
   int filled = 0;
-  uint8_t* last_slot = nullptr;
+  bool sws_failed = false;
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;  // geometry the context was built for
+
+  auto scale_into = [&](AVFrame* f, uint8_t* dst) -> bool {
+    if (!sws || f->width != sws_w || f->height != sws_h
+        || f->format != sws_fmt) {
+      // (re)build when geometry changes; a null context (w/h 0, exotic
+      // pixel format) must not reach sws_scale — that segfaults
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(f->width, f->height,
+                           static_cast<AVPixelFormat>(f->format), w, h,
+                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                           nullptr, nullptr);
+      sws_w = f->width;
+      sws_h = f->height;
+      sws_fmt = f->format;
+    }
+    if (!sws) {
+      sws_failed = true;
+      return false;
+    }
+    uint8_t* planes[1] = {dst};
+    int strides[1] = {w * 3};
+    sws_scale(sws, f->data, f->linesize, 0, f->height, planes, strides);
+    return true;
+  };
 
   auto emit = [&](AVFrame* f) {
     // one frame decoded with display index `idx`; copy into every wanted
     // slot that matches (duplicate indices in `want` are allowed)
     while (next < n && want[next] == idx) {
       uint8_t* dst = out + static_cast<size_t>(next) * h * w * 3;
-      if (!sws) {
-        sws = sws_getContext(f->width, f->height,
-                             static_cast<AVPixelFormat>(f->format), w, h,
-                             AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                             nullptr, nullptr);
-      }
-      uint8_t* planes[1] = {dst};
-      int strides[1] = {w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, f->height, planes, strides);
-      last_slot = dst;
+      if (!scale_into(f, dst)) return;
       ++next;
       ++filled;
     }
+    av_frame_unref(last_dec);
+    av_frame_ref(last_dec, f);   // cheap: refcount bump, no pixel copy
     ++idx;
   };
 
   bool done = false;
-  while (!done && av_read_frame(v.fmt, pkt) >= 0) {
+  while (!done && !sws_failed && av_read_frame(v.fmt, pkt) >= 0) {
     if (pkt->stream_index == v.stream &&
         avcodec_send_packet(v.dec, pkt) >= 0) {
       while (avcodec_receive_frame(v.dec, frame) >= 0) {
@@ -137,22 +157,34 @@ int dyt_video_decode(const char* path, const int* want, int n,
     }
     av_packet_unref(pkt);
   }
-  if (!done) {  // flush the decoder for trailing frames
+  if (!done && !sws_failed) {  // flush the decoder for trailing frames
     avcodec_send_packet(v.dec, nullptr);
     while (avcodec_receive_frame(v.dec, frame) >= 0) {
       emit(frame);
       if (next >= n || idx > last_want) break;
     }
   }
-  // clamp semantics: unfilled trailing slots repeat the last decoded frame
-  while (next < n && last_slot) {
-    std::memcpy(out + static_cast<size_t>(next) * h * w * 3, last_slot,
-                static_cast<size_t>(h) * w * 3);
-    ++next;
-    ++filled;
+  // Clamp semantics: wanted indices past the real end of stream repeat the
+  // last DECODED frame (np.minimum(idx, num_frames-1) in the Python
+  // backends) — not the last wanted slot, which could be temporally far
+  // from the end.  Covers probe overestimates on metadata-poor streams,
+  // including the all-indices-past-EOF case (filled would otherwise be 0).
+  if (next < n && !sws_failed && last_dec->width > 0) {
+    uint8_t* first = out + static_cast<size_t>(next) * h * w * 3;
+    if (scale_into(last_dec, first)) {
+      ++next;
+      ++filled;
+      while (next < n) {
+        std::memcpy(out + static_cast<size_t>(next) * h * w * 3, first,
+                    static_cast<size_t>(h) * w * 3);
+        ++next;
+        ++filled;
+      }
+    }
   }
 
   if (sws) sws_freeContext(sws);
+  av_frame_free(&last_dec);
   av_frame_free(&frame);
   av_packet_free(&pkt);
   return filled;

@@ -109,3 +109,28 @@ def test_loader_square_mode_differs_from_crop(image_dir):
     a = NL.decode_resize(path, 32, square=False)
     b = NL.decode_resize(path, 32, square=True)
     assert not np.array_equal(a, b)
+
+
+def test_native_loader_emits_batches_in_index_order(image_dir):
+    """Workers decode concurrently but batches must surface in INDEX order:
+    multi-host eval assembles each step's global array across processes, so
+    the short tail batch must appear at the same step everywhere (review
+    finding: completion-order emission broke that lockstep)."""
+    samples = [(image_dir[i % len(image_dir)][0], i) for i in range(23)]
+    dl = NL.NativeDataLoader(samples, batch_size=4, canvas=16,
+                             num_workers=8, prefetch=2)
+    for _ in range(3):  # repeat: completion order varies run to run
+        dl.set_epoch(0)
+        got = np.concatenate([lb for _, lb in dl])
+        assert got.tolist() == list(range(23)), got.tolist()
+
+
+def test_native_loader_counts_decode_failures(tmp_path, image_dir):
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not an image")
+    dl = NL.NativeDataLoader([(bad, 0)] + image_dir[:3], batch_size=4,
+                             canvas=16, num_workers=2)
+    dl.set_epoch(0)
+    list(dl)
+    assert dl._lib.dyt_loader_decode_failures(dl._handle) == 1

@@ -142,3 +142,17 @@ def test_video_dataset_native_backend(video_root, monkeypatch):
     clip, label = ds[2]
     assert clip.shape == (4, 32, 32, 3) and label == 2
     assert 40 <= clip.mean() <= 160
+
+
+def test_native_decoder_all_indices_past_end(video_root):
+    """Probe overestimates on metadata-poor streams can put EVERY wanted
+    index past EOF; the decoder must clamp to the last real frame instead
+    of returning nothing (review finding)."""
+    from dynamic_tuning_tpu.data import native_video
+
+    if not native_video.available():
+        pytest.skip("native video decoder unavailable")
+    path = os.path.join(video_root, "clip1.mp4")
+    got = native_video.read_frames(path, [300, 400])
+    last = native_video.read_frames(path, [39])[39]
+    assert np.array_equal(got[300], last) and np.array_equal(got[400], last)
