@@ -190,6 +190,12 @@ class Runner:
             flush(*pending)
         return {k: m.global_avg for k, m in ml.meters.items()}
 
+    def load_eval_checkpoint(self, path: str):
+        """Load weights for --eval_ckpt evaluation (no optimizer resume);
+        re-lays the restored host-local arrays out on the mesh."""
+        self.state, _, _ = C.load_checkpoint(path, self.state)
+        self.state = M.shard_state(self.mesh, self.state)
+
     def evaluate(self) -> Dict[str, float]:
         all_logits, all_labels = [], []
         keep_sum, keep_n = 0.0, 0

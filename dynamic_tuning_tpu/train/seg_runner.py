@@ -193,6 +193,16 @@ class SegRunner:
             v["batch_stats"] = self.batch_stats
         return v
 
+    def load_eval_checkpoint(self, path: str):
+        """Load weights for --eval_ckpt evaluation (no optimizer resume);
+        restores the SyncBN sidecar too (see the resume path above)."""
+        self.state, _, _ = C.load_checkpoint(path, self.state)
+        self.state = M.shard_state(self.mesh, self.state)
+        if self.batch_stats:
+            root = path if os.path.isdir(path) else os.path.dirname(path) or "."
+            self.batch_stats = C.load_aux_state(root, "batch_stats",
+                                                self.batch_stats)
+
     def evaluate(self, max_images: int | None = None) -> Dict[str, float]:
         params = self._eval_variables()
         if jax.process_count() > 1:

@@ -152,6 +152,12 @@ class VideoRunner:
             ml.update(**{k2: float(v) for k2, v in pending.items()})
         return {k2: m.global_avg for k2, m in ml.meters.items()}
 
+    def load_eval_checkpoint(self, path: str):
+        """Load weights for --eval_ckpt evaluation (no optimizer resume);
+        re-lays the restored host-local arrays out on the mesh."""
+        self.state, _, _ = C.load_checkpoint(path, self.state)
+        self.state = M.shard_state(self.mesh, self.state)
+
     def evaluate(self, save_views_dir: str | None = None) -> Dict[str, float]:
         """Multi-view eval; optionally persists per-view outputs for offline
         merging across processes (reference final_test/merge,
@@ -198,7 +204,11 @@ class VideoRunner:
                 save_view_outputs(save_views_dir, jax.process_index(),
                                   np.repeat(gids, V),
                                   per_view.reshape(nB * V, -1),
-                                  np.repeat(labels, V))
+                                  np.repeat(labels, V),
+                                  # truncate this rank's shard on the first
+                                  # batch: don't merge a previous eval's
+                                  # logits from the same dir
+                                  append=clip_offset > 0)
             clip_offset += nB
             logits = per_view.mean(axis=1)
             all_logits.append(logits)

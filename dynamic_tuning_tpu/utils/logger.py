@@ -3,18 +3,29 @@ colored console on rank 0, per-rank ``log_rank{N}.txt`` files)."""
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import sys
 
 
-@functools.lru_cache()
 def create_logger(output_dir: str = "", dist_rank: int = 0,
                   name: str = "dyt") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
+
+    # sequential Runners in one process (main_vtab --task all builds 19)
+    # share this named logger: tear down the previous config instead of
+    # stacking handlers (duplicate console lines, logs appended into
+    # earlier tasks' files).  No caching — an lru_cache hit after an
+    # intervening reconfigure would return a logger bound to another
+    # task's files.
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        try:
+            h.close()
+        except OSError:
+            pass
 
     fmt = "[%(asctime)s %(name)s] (%(filename)s %(lineno)d): %(levelname)s %(message)s"
 

@@ -18,11 +18,17 @@ import numpy as np
 
 
 def save_view_outputs(output_dir: str, process_index: int, ids: np.ndarray,
-                      logits: np.ndarray, labels: np.ndarray) -> str:
-    """Append-accumulate one process's (clip-id, view-logit, label) rows."""
+                      logits: np.ndarray, labels: np.ndarray,
+                      append: bool = True) -> str:
+    """Append-accumulate one process's (clip-id, view-logit, label) rows.
+
+    Pass ``append=False`` on an eval's FIRST batch: it truncates this rank's
+    shard so a re-run into the same directory (later checkpoint, crash
+    restart) doesn't average stale logits from the previous eval into the
+    merge."""
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, f"views_rank{process_index}.npz")
-    if os.path.exists(path):
+    if append and os.path.exists(path):
         old = np.load(path)
         ids = np.concatenate([old["ids"], ids])
         logits = np.concatenate([old["logits"], logits])

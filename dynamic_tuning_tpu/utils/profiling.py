@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -48,9 +48,13 @@ class Timer:
 
 
 def scan_throughput(apply_once: Callable, args: Sequence, *, batch: int,
-                    iters: int = 50, repeats: int = 3) -> float:
+                    iters: int = 50, repeats: int = 3,
+                    warmup_iters: Optional[int] = None) -> float:
     """img/s for ``apply_once(*args) -> scalar``; iterations serialized via a
-    carry perturbation so XLA cannot elide or overlap them."""
+    carry perturbation so XLA cannot elide or overlap them.
+
+    ``warmup_iters`` is the number of forward iterations to run before
+    timing (rounded up to whole scan calls); default = one scan call."""
 
     @jax.jit
     def many(*a):
@@ -61,7 +65,10 @@ def scan_throughput(apply_once: Callable, args: Sequence, *, batch: int,
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return out
 
-    _ = float(many(*args))
+    warm_calls = (1 if warmup_iters is None
+                  else max(1, -(-warmup_iters // iters)))
+    for _ in range(warm_calls):
+        _ = float(many(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

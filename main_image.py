@@ -24,8 +24,7 @@ def main(args):
     runner = Runner(cfg)
     if args.eval:
         if args.eval_ckpt:
-            from dynamic_tuning_tpu.train import checkpoint as C
-            runner.state, _, _ = C.load_checkpoint(args.eval_ckpt, runner.state)
+            runner.load_eval_checkpoint(args.eval_ckpt)
         stats = runner.evaluate()
         print(f"Accuracy on the val set: {stats['acc1']:.1f}%")
         return stats

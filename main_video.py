@@ -58,6 +58,8 @@ def main(args):
     maybe_initialize_distributed()
     runner = VideoRunner(build_config(args))
     if args.eval:
+        if args.eval_ckpt:
+            runner.load_eval_checkpoint(args.eval_ckpt)
         return runner.evaluate()
     return runner.run()
 

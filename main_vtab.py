@@ -30,6 +30,8 @@ def run_task(args, task: str):
     cfg = cfg.replace(output_dir=f"{args.output_dir}/{task}")
     runner = Runner(cfg)
     if args.eval:
+        if args.eval_ckpt:
+            runner.load_eval_checkpoint(args.eval_ckpt)
         return runner.evaluate()
     return runner.run()
 

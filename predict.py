@@ -77,7 +77,17 @@ def _load_canvas(path, canvas=256):
             return img
     from PIL import Image
 
-    img = Image.open(path).convert("RGB").resize((canvas, canvas))
+    # same geometry as the native path (resize_center_crop): short side ->
+    # canvas, center crop — NOT an aspect-destroying square stretch, which
+    # would make predictions depend on whether the native lib compiled
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    scale = canvas / min(w, h)
+    img = img.resize((max(round(w * scale), canvas),
+                      max(round(h * scale), canvas)), Image.BILINEAR)
+    w, h = img.size
+    left, top = (w - canvas) // 2, (h - canvas) // 2
+    img = img.crop((left, top, left + canvas, top + canvas))
     return np.asarray(img, np.uint8)
 
 
@@ -101,6 +111,19 @@ def main(args):
         loaded = C.load_params(args.ckpt)
         params = loaded.get("params", loaded)
 
+    if args.quant != "none":
+        # int8 serving lives in the flax model's apply path (ops/quant.py);
+        # fast_vit_forward never reads cfg.quant — routing it there would
+        # silently serve bf16 labeled as W8A8
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("complete", "dispatch"))
+        def flax_fwd(p, xb, complete, dispatch):
+            logits, aux = model.apply({"params": p}, xb,
+                                      complete_model=complete,
+                                      dispatch=dispatch)
+            return logits, aux["token_select"]
+
     paths = _list_images(args.images)
     canvas = max(int(args.img_size * 256 / 224), args.img_size)
     results = []
@@ -114,12 +137,18 @@ def main(args):
         if mode == "auto":
             mode = ("dense" if len(chunk) < AUTO_DISPATCH_MIN_BATCH
                     else "dispatch")
-        logits, gates = fast_vit_forward(params, xb, cfg=cfg, tuning=tuning,
-                                         select=sel, mode=mode,
-                                         use_pallas=False)
+        if args.quant != "none":
+            logits, ts = flax_fwd(params, xb, complete=mode == "dense",
+                                  dispatch=mode == "dispatch")
+            keep = (np.full(len(chunk), 1.0) if ts is None
+                    else np.asarray(ts).mean(axis=(1, 2, 3)))
+        else:
+            logits, gates = fast_vit_forward(params, xb, cfg=cfg,
+                                             tuning=tuning, select=sel,
+                                             mode=mode, use_pallas=False)
+            keep = (np.asarray(gates).mean(axis=(1, 2))
+                    if gates is not None else np.full(len(chunk), 1.0))
         probs = jax.nn.softmax(logits, -1)
-        keep = (np.asarray(gates).mean(axis=(1, 2))
-                if gates is not None else np.full(len(chunk), 1.0))
         for j, p in enumerate(chunk):
             r = {"path": p, "label": int(jnp.argmax(logits[j])),
                  "prob": round(float(probs[j].max()), 4),

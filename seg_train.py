@@ -47,6 +47,8 @@ def main(args):
                        norm=args.seg_norm,
                        head_channels=args.seg_head_channels)
     if args.eval:
+        if args.eval_ckpt:
+            runner.load_eval_checkpoint(args.eval_ckpt)
         return runner.evaluate()
     return runner.run()
 

@@ -78,7 +78,7 @@ def main(args):
         return logits.sum()
 
     ips = scan_throughput(fwd, (params, x), batch=args.batch_size,
-                          iters=args.iters)
+                          iters=args.iters, warmup_iters=args.warmup)
     print(json.dumps({"mode": args.mode, "throughput_img_s": round(ips, 2),
                       "batch_size": args.batch_size}))
     return ips
