@@ -195,3 +195,73 @@ def test_adaptive_avg_pool_matches_torch_nondivisible():
             torch.from_numpy(x).permute(0, 3, 1, 2), out
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_uperhead_matches_torch_oracle():
+    """Full UPerHead vs an independent torch replica over the same params:
+    pins the PSP adaptive pooling (incl. non-divisible and out>in scales),
+    the bilinear resizes (align_corners=False semantics), SAME conv padding,
+    GroupNorm(32, eps=1e-6) and the FPN top-down wiring.  Complements the
+    backbone oracle (tests/test_full_scale_seg_video.py); reference head:
+    mmseg UPerHead (dense_tasks/Segmentation config our_vit.py)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dynamic_tuning_tpu.models.upernet import UPerHead
+
+    C, NC = 64, 7
+    head = UPerHead(NC, channels=C, dtype=jnp.float32)
+    rs = np.random.RandomState(3)
+    # real stride-4/8/16/32 geometry at half the 512-crop scale: every
+    # _resize in the head UPSAMPLES (as at any crop size), where jax and
+    # torch bilinear agree; jax antialiases on DOWNSCALE where torch
+    # doesn't, but no live head path downscales.  PSP on 8x8 exercises
+    # the non-divisible pool scales (3, 6).
+    feats = [jnp.asarray(rs.randn(1, s, s, C).astype(np.float32))
+             for s in (64, 32, 16, 8)]
+    params = head.init(jax.random.PRNGKey(0), feats)["params"]
+    # non-trivial norm affines so GN semantics are actually exercised
+    params = jax.tree_util.tree_map(
+        lambda v: v + 0.05 * np.random.RandomState(v.size).randn(*v.shape)
+        .astype(np.float32), params)
+    got = np.asarray(head.apply({"params": params}, feats))
+
+    def t(p, *path):
+        v = params
+        for k in path:
+            v = v[k]
+        return torch.from_numpy(np.asarray(v))
+
+    def conv_module(x, *path, k=3):
+        w = t(params, *path, "conv", "kernel").permute(3, 2, 0, 1)
+        x = F.conv2d(x, w, padding=k // 2)
+        x = F.group_norm(x, 32, t(params, *path, "gn", "scale"),
+                         t(params, *path, "gn", "bias"), eps=1e-6)
+        return F.relu(x)
+
+    def up(x, hw):
+        return F.interpolate(x, size=hw, mode="bilinear",
+                             align_corners=False)
+
+    tf = [torch.from_numpy(np.asarray(f)).permute(0, 3, 1, 2) for f in feats]
+    # PSP
+    outs = [tf[-1]]
+    for i, s in enumerate((1, 2, 3, 6)):
+        p = F.adaptive_avg_pool2d(tf[-1], s)
+        p = conv_module(p, "psp", f"pool_{i}", k=1)
+        outs.append(up(p, tf[-1].shape[2:]))
+    psp = conv_module(torch.cat(outs, 1), "psp", "bottleneck")
+    # FPN
+    lats = [conv_module(tf[i], f"lateral_{i}", k=1) for i in range(3)]
+    lats.append(psp)
+    for i in range(3, 0, -1):
+        lats[i - 1] = lats[i - 1] + up(lats[i], lats[i - 1].shape[2:])
+    fpn = [conv_module(lats[i], f"fpn_{i}") for i in range(3)]
+    fpn.append(lats[3])
+    fpn = [up(o, fpn[0].shape[2:]) for o in fpn]
+    fused = conv_module(torch.cat(fpn, 1), "fpn_bottleneck")
+    w = t(params, "conv_seg", "kernel").permute(3, 2, 0, 1)
+    ref = F.conv2d(fused, w, t(params, "conv_seg", "bias"))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
