@@ -118,6 +118,65 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_RUNNER_WORKER = textwrap.dedent("""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed()
+    from dynamic_tuning_tpu.config import (DataConfig, ModelConfig,
+                                           OptimConfig, RunConfig,
+                                           SelectConfig, TuningConfig)
+    from dynamic_tuning_tpu.train.runner import Runner
+
+    # synthetic val = 256 rows -> 128/process; batch 25 leaves a 3-row tail:
+    # (3 rows x 2 processes) % 4 devices != 0, exercising pad_eval_batch
+    # through the REAL evaluate loop (tail crashed before the fix)
+    cfg = RunConfig(
+        model=ModelConfig(img_size=32, patch_size=8, num_classes=10,
+                          embed_dim=64, depth=2, num_heads=4),
+        tuning=TuningConfig(ffn_num=8, d_model=64),
+        select=SelectConfig(),
+        optim=OptimConfig(lr=1e-3, warmup_epochs=0, epochs=1),
+        data=DataConfig(dataset="synthetic", batch_size=25, num_workers=2),
+        output_dir="", compute_dtype="float32")
+    r = Runner(cfg)
+    stats = r.evaluate()
+    # all 256 val rows scored exactly once across hosts; acc1 is computed
+    # on the allgathered logits so it must agree bit-for-bit across ranks
+    # (keep_ratio/gflops are per-host local-row diagnostics, not compared)
+    assert "keep_ratio" in stats and "gflops" in stats
+    print("EVAL_OK", round(float(stats["acc1"]), 4), flush=True)
+""")
+
+
+def test_two_process_runner_evaluate_tail_batch(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    portno = port.getsockname()[1]
+    port.close()
+
+    script = tmp_path / "runner_worker.py"
+    script.write_text(_RUNNER_WORKER)
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(RANK=str(rank), WORLD_SIZE="2",
+                   MASTER_ADDR="127.0.0.1", MASTER_PORT=str(portno),
+                   PYTHONPATH=os.getcwd(),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=os.getcwd(),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    lines = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\\n{out}\\n{err}"
+        lines += [l for l in out.splitlines() if l.startswith("EVAL_OK")]
+    assert len(lines) == 2 and lines[0] == lines[1], lines
+
+
 def test_two_process_cpu_training_world(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
