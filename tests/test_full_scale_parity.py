@@ -28,6 +28,8 @@ from dynamic_tuning_tpu.train.checkpoint import import_pretrained
 
 from torch_oracle import image_oracle, make_vit_state_dict
 
+pytestmark = pytest.mark.fullscale
+
 DEPTH, DIM, HEADS, FFN = 12, 768, 12, 64
 CLASSES, IMG, PATCH, B = 1000, 224, 16, 2
 SEED = 5

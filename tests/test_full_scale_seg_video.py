@@ -33,6 +33,8 @@ from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
 
 from torch_oracle import seg_backbone_oracle, video_oracle
 
+pytestmark = pytest.mark.fullscale
+
 DIM, HEADS, FFN = 768, 12, 64
 
 
