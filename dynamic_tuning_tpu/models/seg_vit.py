@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
-from dynamic_tuning_tpu.models.layers import (Block, remat_block_cls,
-                                               trunc_normal_02)
+from dynamic_tuning_tpu.models.layers import remat_block_cls, trunc_normal_02
 from dynamic_tuning_tpu.models.vit import PatchEmbed
 from dynamic_tuning_tpu.train.losses import token_budget_loss
 

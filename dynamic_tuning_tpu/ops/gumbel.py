@@ -20,7 +20,6 @@ surrounding elementwise graph.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def gumbel_sigmoid(
