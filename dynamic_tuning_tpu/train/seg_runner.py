@@ -64,7 +64,7 @@ class SegRunner:
     def __init__(self, cfg: RunConfig, *, total_iters: int = 160_000,
                  eval_interval: int = 16_000, crop: int = 512,
                  slide_stride: int = 341, norm: str = "gn",
-                 head_channels: int = 0):
+                 head_channels: int = 0, tile_batch: int = 1):
         self.cfg = cfg
         self.norm = norm
         self.head_channels = head_channels or None
@@ -72,6 +72,7 @@ class SegRunner:
         self.eval_interval = eval_interval
         self.crop = crop
         self.slide_stride = slide_stride
+        self.tile_batch = tile_batch
         self.logger = create_logger(cfg.output_dir, jax.process_index())
         self.mesh = M.make_mesh(cfg.mesh.model_parallel)
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -221,7 +222,8 @@ class SegRunner:
             x = seg_normalize(jnp.asarray(img))
             logits = slide_inference(self._eval_apply, params, x,
                                      num_classes=self.num_classes,
-                                     crop=self.crop, stride=self.slide_stride)
+                                     crop=self.crop, stride=self.slide_stride,
+                                     tile_batch=self.tile_batch)
             pred = np.asarray(jnp.argmax(logits, -1))
             cm += confusion_matrix(pred, np.asarray(ann), self.num_classes)
         if jax.process_count() > 1:

@@ -21,6 +21,10 @@ def get_args_parser():
     p.add_argument("--total_iters", type=int, default=160_000)
     p.add_argument("--eval_interval", type=int, default=16_000)
     p.add_argument("--slide_stride", type=int, default=341)
+    p.add_argument("--slide_tile_batch", type=int, default=1,
+                   help="window tiles per eval forward (1 = reference "
+                        "semantics; >1 batches tiles for MXU utilization, "
+                        "numerically identical)")
     p.add_argument("--seg_norm", default="gn", choices=["gn", "bn"],
                    help="head norm: gn (stateless) or bn (SyncBN parity)")
     p.add_argument("--seg_head_channels", type=int, default=0,
@@ -44,6 +48,7 @@ def main(args):
     runner = SegRunner(cfg, total_iters=args.total_iters,
                        eval_interval=args.eval_interval,
                        crop=args.crop_size, slide_stride=args.slide_stride,
+                       tile_batch=args.slide_tile_batch,
                        norm=args.seg_norm,
                        head_channels=args.seg_head_channels)
     if args.eval:

@@ -265,3 +265,23 @@ def test_uperhead_matches_torch_oracle():
     ref = ref.permute(0, 2, 3, 1).numpy()
 
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_slide_inference_tile_batch_identical():
+    """tile_batch > 1 batches window tiles per forward (MXU utilization /
+    fewer dispatches) but must be numerically identical to the reference
+    one-tile-at-a-time semantics, including the weight-0 padding tiles."""
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(40, 56, 3).astype(np.float32))
+
+    def apply_fn(params, tiles):   # fake segmentor: linear in the tile
+        return jnp.tanh(tiles @ params)[..., :5]
+
+    params = jnp.asarray(rs.randn(3, 8).astype(np.float32))
+    ref = slide_inference(apply_fn, params, img, num_classes=5, crop=16,
+                          stride=11, tile_batch=1)
+    for tb in (2, 3, 7):   # 7 forces weight-0 padding (12 tiles total)
+        got = slide_inference(apply_fn, params, img, num_classes=5, crop=16,
+                              stride=11, tile_batch=tb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
