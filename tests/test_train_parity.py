@@ -109,3 +109,59 @@ def test_train_loss_curve_matches_torch(monkeypatch):
         tv = mirror.p[path].detach().numpy()
         np.testing.assert_allclose(np.asarray(v), tv, rtol=1e-3, atol=2e-5,
                                    err_msg=str(path))
+
+
+def test_fulltune_loss_curve_matches_torch(monkeypatch):
+    """--fulltune (reference main_image.py:254) trains the WHOLE backbone:
+    the parity must hold with gradients flowing through the frozen-by-
+    default parts too (patch conv, attention, LNs, pos/cls embeddings) —
+    much wider gradient coverage than the adapter/router/head-only test."""
+    model, params, data = _setup()
+    data = data[:8]
+
+    monkeypatch.setattr(jax.random, "logistic",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    trainable, frozen = partition_params(params, predicate=lambda p: True)
+    assert not frozen
+    tx = make_optimizer(BASE_LR, epochs=len(data) / SPE, warmup_epochs=1.0,
+                        steps_per_epoch=SPE, weight_decay=WD)
+    state = create_train_state(trainable, frozen, tx, jax.random.PRNGKey(7))
+    step = make_train_step(model_apply_fn(model), tx, SEL)
+    jax_parts = []
+    for x, y in data:
+        state, parts = step(state, jnp.asarray(x), jnp.asarray(y))
+        jax_parts.append({k: float(v) for k, v in parts.items()})
+
+    from flax import traverse_util
+
+    flat = {k: np.asarray(v) for k, v in
+            traverse_util.flatten_dict(params).items()}
+    mirror = TorchDyTTrainer(flat, heads=HEADS, depth=DEPTH, patch=PATCH,
+                             tau=SEL.tau, target_ratio=SEL.token_target_ratio,
+                             token_loss_ratio=SEL.token_loss_ratio,
+                             weight_decay=WD, fulltune=True)
+    sched = warmup_cosine_schedule(BASE_LR, 0.0, len(data) / SPE, 1.0, SPE)
+    torch_parts = [mirror.step(x, y, float(sched(i)))
+                   for i, (x, y) in enumerate(data)]
+
+    for i, (jp, tp) in enumerate(zip(jax_parts, torch_parts)):
+        assert jp["keep_ratio"] == pytest.approx(tp["keep_ratio"], abs=1e-6), \
+            f"step {i}: gate sets diverged"
+        for key in ("loss", "base_loss", "token_loss", "teacher_loss",
+                    "distillation_loss"):
+            assert jp[key] == pytest.approx(tp[key], rel=5e-4, abs=5e-5), \
+                f"step {i} {key}: jax {jp[key]} torch {tp[key]}"
+
+    # backbone weights actually moved and still agree cross-framework
+    moved = np.abs(np.asarray(state.trainable[("blocks_0", "attn", "qkv",
+                                               "kernel")])
+                   - flat[("blocks_0", "attn", "qkv", "kernel")]).max()
+    assert moved > 1e-5, "fulltune did not train the backbone"
+    for path in [("blocks_0", "attn", "qkv", "kernel"),
+                 ("patch_embed", "proj", "kernel"), ("cls_token",),
+                 ("norm", "scale")]:
+        np.testing.assert_allclose(
+            np.asarray(state.trainable[path]),
+            mirror.p[path].detach().numpy(), rtol=2e-3, atol=5e-5,
+            err_msg=str(path))

@@ -254,7 +254,8 @@ class TorchDyTTrainer:
     def __init__(self, flat_params: dict, *, heads: int, depth: int,
                  patch: int, tau: float = 5.0, adapter_scale: float = 0.1,
                  target_ratio: float = 0.5, token_loss_ratio: float = 2.0,
-                 weight_decay: float = 0.01, betas=(0.9, 0.999)):
+                 weight_decay: float = 0.01, betas=(0.9, 0.999),
+                 fulltune: bool = False):
         self.heads, self.depth, self.patch = heads, depth, patch
         self.tau, self.ascale = tau, adapter_scale
         self.target, self.tlr = target_ratio, token_loss_ratio
@@ -262,8 +263,10 @@ class TorchDyTTrainer:
         trainable = []
         for path, v in flat_params.items():
             t = torch.from_numpy(np.array(v, np.float32, copy=True))
-            # reference freeze rule: adapters + routers + head train
-            if any(k in path for k in ("adaptmlp", "mlp_token_select")) \
+            # reference freeze rule: adapters + routers + head train;
+            # --fulltune (main_image.py:254) trains everything
+            if fulltune or any(k in path for k in ("adaptmlp",
+                                                   "mlp_token_select")) \
                     or path[0] == "head":
                 t.requires_grad_(True)
                 trainable.append(t)
