@@ -56,3 +56,46 @@ def test_mixup_soft_labels_sum_to_one():
     np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
     loss = soft_cross_entropy(jax.random.normal(rng, (8, 4)), soft)
     assert np.isfinite(float(loss))
+
+
+def test_lars_matches_reference_torch_formula():
+    """5 LARS steps vs the reference implementation's exact update rule
+    (util/lars.py, MoCo-v3 LARS): trust ratio on >1-D params only, momentum
+    buffer mu = m*mu + dp, p -= lr*mu."""
+    import torch
+
+    from dynamic_tuning_tpu.train.optim import lars
+
+    lr, wd, mom, tc = 0.1, 0.01, 0.9, 0.001
+    rs = np.random.RandomState(0)
+    p0 = {"w": rs.randn(6, 5).astype(np.float32),
+          "b": rs.randn(5).astype(np.float32)}
+    grads = [{"w": rs.randn(6, 5).astype(np.float32),
+              "b": rs.randn(5).astype(np.float32)} for _ in range(5)]
+
+    # jax side
+    tx = lars(lr, weight_decay=wd, momentum=mom, trust_coefficient=tc)
+    params = {k: jnp.asarray(v) for k, v in p0.items()}
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update({k: jnp.asarray(v) for k, v in g.items()},
+                               state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+
+    # torch reference formula
+    tp = {k: torch.from_numpy(v.copy()) for k, v in p0.items()}
+    mu = {k: torch.zeros_like(v) for k, v in tp.items()}
+    for g in grads:
+        for k in tp:
+            dp = torch.from_numpy(g[k].copy())
+            if tp[k].ndim > 1:
+                dp = dp + wd * tp[k]
+                pn, un = torch.norm(tp[k]), torch.norm(dp)
+                q = (tc * pn / un) if (pn > 0 and un > 0) else 1.0
+                dp = dp * q
+            mu[k] = mom * mu[k] + dp
+            tp[k] = tp[k] - lr * mu[k]
+
+    for k in tp:
+        np.testing.assert_allclose(np.asarray(params[k]), tp[k].numpy(),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
