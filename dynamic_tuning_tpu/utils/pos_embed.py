@@ -5,15 +5,17 @@ Reference behavior (util/pos_embed.py):
   * bicubic grid interpolation for checkpoints at a different image/patch
     resolution, image (:106-127) and video-tubelet (:75-104) variants.
 
-TPU-native: interpolation uses ``jax.image.resize`` (cubic) on the [gh, gw, D]
-grid; runs once at load time so precision mode is irrelevant to step time.
+The grid resize reproduces torch's ``F.interpolate(mode='bicubic',
+align_corners=False)`` EXACTLY (cubic-convolution kernel with A=-0.75,
+replicate-clamped border taps) — ``jax.image.resize(method='cubic')`` uses
+the Keys a=-0.5 kernel and diverges by up to ~0.3 on unit-normal embeddings,
+which would change the fine-tune starting point vs the reference load path.
+Runs once at load time, in numpy.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
@@ -38,6 +40,42 @@ def _1d_sincos(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
 
 
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing torch
+    ``upsample_bicubic2d`` along one axis: half-pixel source coordinates,
+    cubic-convolution weights with A=-0.75, border taps clamped
+    (replicate)."""
+    A = -0.75
+
+    def w(d):
+        d = abs(d)
+        if d <= 1.0:
+            return (A + 2.0) * d ** 3 - (A + 3.0) * d ** 2 + 1.0
+        if d < 2.0:
+            return A * d ** 3 - 5.0 * A * d ** 2 + 8.0 * A * d - 4.0 * A
+        return 0.0
+
+    scale = n_in / n_out
+    m = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        t = x - x0
+        for k in range(-1, 3):
+            m[i, min(max(x0 + k, 0), n_in - 1)] += w(t - k)
+    return m
+
+
+def _bicubic_grid_resize(grid: np.ndarray, gs_new: int) -> np.ndarray:
+    """[..., gh, gw, D] -> [..., gs_new, gs_new, D], torch-bicubic exact."""
+    gh, gw = grid.shape[-3], grid.shape[-2]
+    mh = _bicubic_matrix(gh, gs_new)
+    mw = _bicubic_matrix(gw, gs_new)
+    out = np.einsum("oh,...hwd->...owd", mh, grid.astype(np.float64))
+    out = np.einsum("pw,...owd->...opd", mw, out)
+    return out.astype(grid.dtype)
+
+
 def interpolate_pos_embed_video(pos_embed: np.ndarray, new_num_patches: int,
                                 num_frames: int, tubelet_size: int = 2,
                                 num_prefix_tokens: int = 0) -> np.ndarray:
@@ -55,8 +93,7 @@ def interpolate_pos_embed_video(pos_embed: np.ndarray, new_num_patches: int,
     if gs_old == gs_new:
         return pos_embed
     grid = grid.reshape(t_frames, gs_old, gs_old, dim)
-    grid = jax.image.resize(jnp.asarray(grid),
-                            (t_frames, gs_new, gs_new, dim), method="cubic")
+    grid = _bicubic_grid_resize(grid, gs_new)
     grid = np.asarray(grid).reshape(1, t_frames * gs_new * gs_new, dim)
     return np.concatenate([prefix, grid], axis=1) if num_prefix_tokens \
         else grid
@@ -77,7 +114,6 @@ def interpolate_pos_embed(pos_embed: np.ndarray, new_num_patches: int,
     gs_old = int(round(old_patches ** 0.5))
     gs_new = int(round(new_num_patches ** 0.5))
     grid = grid.reshape(1, gs_old, gs_old, dim)
-    grid = jax.image.resize(jnp.asarray(grid), (1, gs_new, gs_new, dim),
-                            method="cubic")
+    grid = _bicubic_grid_resize(grid, gs_new)
     grid = np.asarray(grid).reshape(1, gs_new * gs_new, dim)
     return np.concatenate([prefix, grid], axis=1)

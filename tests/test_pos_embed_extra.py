@@ -36,3 +36,41 @@ def test_video_tubelet_interpolation():
 def test_maybe_initialize_noop_single_host():
     # no env vars set -> no-op, returns False (or True on an already-init pod)
     assert maybe_initialize_distributed() in (False, True)
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic():
+    """Pos-embed grid resize vs the reference's F.interpolate(bicubic,
+    align_corners=False) (util/pos_embed.py:106-127) for the live upsample
+    direction (e.g. 14x14 IN21K grid -> larger fine-tune grid)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dynamic_tuning_tpu.utils.pos_embed import interpolate_pos_embed
+
+    rs = np.random.RandomState(0)
+    pe = rs.randn(1, 1 + 14 * 14, 24).astype(np.float32)
+    got = interpolate_pos_embed(pe, 24 * 24)
+    grid = torch.from_numpy(pe[:, 1:].reshape(1, 14, 14, 24)).permute(0, 3, 1, 2)
+    ref = F.interpolate(grid, size=(24, 24), mode="bicubic",
+                        align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).reshape(1, 24 * 24, 24).numpy()
+    np.testing.assert_array_equal(got[:, :1], pe[:, :1])  # CLS passthrough
+    np.testing.assert_allclose(got[:, 1:], ref, rtol=2e-5, atol=2e-5)
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic_downscale():
+    """Downscale direction (fine-tune at lower res): torch bicubic does NOT
+    antialias — the kernel matrix must reproduce that too."""
+    import torch
+    import torch.nn.functional as F
+
+    from dynamic_tuning_tpu.utils.pos_embed import interpolate_pos_embed
+
+    rs = np.random.RandomState(1)
+    pe = rs.randn(1, 1 + 24 * 24, 16).astype(np.float32)
+    got = interpolate_pos_embed(pe, 14 * 14)
+    grid = torch.from_numpy(pe[:, 1:].reshape(1, 24, 24, 16)).permute(0, 3, 1, 2)
+    ref = F.interpolate(grid, size=(14, 14), mode="bicubic",
+                        align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).reshape(1, 14 * 14, 16).numpy()
+    np.testing.assert_allclose(got[:, 1:], ref, rtol=2e-5, atol=2e-5)
