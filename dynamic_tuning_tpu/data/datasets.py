@@ -25,52 +25,42 @@ from dynamic_tuning_tpu.data.vtab import parse_filelist, vtab_num_classes
 MEAN_PER_CLASS = {"flowers102", "fgvc_aircraft", "oxford_iiit_pet"}
 
 
-def _bilinear_canvas(img: np.ndarray, canvas: int,
-                     square: bool = False) -> np.ndarray:
-    """Decode-time resize shared with the native C++ loader.
+def _pil_canvas(im, canvas: int, square: bool = False) -> np.ndarray:
+    """Decode-time canvas: PIL BICUBIC, matching the reference transforms.
 
-    Point-sampled bilinear with half-pixel centers — the exact math of
-    ``native/dyt_loader.cpp::sample_bilinear`` so a dataset yields identical
-    pixels regardless of which loader backend decoded it.
+    The reference feeds PIL-bicubic pixels (torchvision ``interpolation=3``:
+    image_datasets.py:17,22, image_datasets_noaug.py:16-23), so the canvas
+    resample uses PIL itself — the native C++ loader reproduces PIL's
+    resampler to ±1 (tests/test_native_loader.py pins both).
 
-    square=False: short-side resize to ``canvas`` + center crop (the
-    reference eval transform Resize+CenterCrop, image_datasets.py:22-24,
-    scaled to the canvas).  square=True: aspect-destroying canvas x canvas
-    resize (the reference VTAB no-aug Resize((224,224)),
-    image_datasets_noaug.py:16-23).
-    """
-    h, w = img.shape[:2]
+    square=False: torchvision Resize(short=canvas) + CenterCrop(canvas)
+    (truncating long-side math, round-half-even crop offsets — the eval
+    transform scaled to the canvas).  square=True: the VTAB no-aug
+    Resize((canvas, canvas))."""
+    from PIL import Image
+
     if square:
-        scale_y, scale_x = canvas / h, canvas / w
-        top = left = 0
+        im = im.resize((canvas, canvas), Image.BICUBIC)
     else:
-        scale_y = scale_x = canvas / min(h, w)
-        nh, nw = int(h * scale_y + 0.5), int(w * scale_x + 0.5)
-        top, left = (nh - canvas) // 2, (nw - canvas) // 2
-
-    ys = (np.arange(canvas) + top + 0.5) / scale_y - 0.5
-    xs = (np.arange(canvas) + left + 0.5) / scale_x - 0.5
-    y0 = np.clip(ys, 0, h - 2).astype(np.int64)
-    x0 = np.clip(xs, 0, w - 2).astype(np.int64)
-    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    p = img.astype(np.float64)
-    p00 = p[y0[:, None], x0[None, :]]
-    p01 = p[y0[:, None], x0[None, :] + 1]
-    p10 = p[y0[:, None] + 1, x0[None, :]]
-    p11 = p[y0[:, None] + 1, x0[None, :] + 1]
-    v = (1 - fy) * ((1 - fx) * p00 + fx * p01) + fy * ((1 - fx) * p10 + fx * p11)
-    return (v + 0.5).astype(np.uint8)
+        w, h = im.size
+        if w <= h:
+            nw, nh = canvas, int(canvas * h / w)
+        else:
+            nw, nh = int(canvas * w / h), canvas
+        im = im.resize((nw, nh), Image.BICUBIC)
+        left, top = round((nw - canvas) / 2.0), round((nh - canvas) / 2.0)
+        im = im.crop((left, top, left + canvas, top + canvas))
+    return np.asarray(im, np.uint8)
 
 
 def decode_canvas(path: str, canvas: int, square: bool = False) -> np.ndarray:
     """PIL decode + the shared canvas resize."""
     from PIL import Image
 
-    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
-    if img.shape[0] < 2 or img.shape[1] < 2:
+    im = Image.open(path).convert("RGB")
+    if im.size[0] < 2 or im.size[1] < 2:
         return np.zeros((canvas, canvas, 3), np.uint8)
-    return _bilinear_canvas(img, canvas, square)
+    return _pil_canvas(im, canvas, square)
 
 
 class ArrayDataset:

@@ -14,7 +14,8 @@ runs are exactly reproducible regardless of host thread scheduling.
 RandomResizedCrop sampling follows the torchvision/TPU-paper algorithm the
 reference uses (util/crop.py:16-42): sample area fraction in [0.08, 1] and
 log-uniform aspect in [3/4, 4/3] (10 tries, fall back to center crop); the
-resize here is bilinear via one ``scale_and_translate`` per image.
+resize here is PIL-bicubic-kernel cubic via one ``scale_and_translate``
+per image (reference transforms use interpolation=3 = PIL BICUBIC).
 """
 
 from __future__ import annotations
@@ -71,17 +72,25 @@ def _sample_crop_box(rng: jax.Array, h: int, w: int,
 
 
 def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
-    """Bilinear-resize the [top:top+ch, left:left+cw] box to out_size^2 with a
-    single fused scale_and_translate (no intermediate crop buffer)."""
+    """Resample the [top:top+ch, left:left+cw] box to out_size^2 with a
+    single fused scale_and_translate (no intermediate crop buffer).
+
+    Kernel is "cubic" (Keys a=-0.5 — the PIL BICUBIC kernel): the reference
+    transforms pass interpolation=3 = PIL.Image.BICUBIC everywhere
+    (image_datasets.py:17,22).  Output is clamped to [0, 255] like PIL's
+    per-pass uint8 clip (cubic overshoots on edges).  On the 256->224 eval
+    center crop (scale 1, integer offsets) the kernel reduces to an exact
+    crop, so eval pixels come straight from the PIL-bicubic canvas."""
     scale_y = out_size / ch
     scale_x = out_size / cw
     # translation maps input coord `top` to output 0: out = in*scale + t
     t_y = -top * scale_y
     t_x = -left * scale_x
-    return jax.image.scale_and_translate(
+    out = jax.image.scale_and_translate(
         img.astype(jnp.float32), (out_size, out_size, img.shape[-1]),
         (0, 1), jnp.stack([scale_y, scale_x]), jnp.stack([t_y, t_x]),
-        method="bilinear")
+        method="cubic")
+    return jnp.clip(out, 0.0, 255.0)
 
 
 def random_resized_crop(rng: jax.Array, img: jax.Array, out_size: int = 224,

@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -127,49 +128,136 @@ bool decode_any(const std::string& path, Image* out) {
 }
 
 // ---------------------------------------------------------------- resize ---
+//
+// PIL-exact separable bicubic resampling.  The reference feeds the model
+// PIL pixels (torchvision Resize/RandomResizedCrop with interpolation=3 =
+// PIL.Image.BICUBIC, datasets/image_datasets.py:17,22) — PIL's bicubic is
+// the Keys kernel a=-0.5 with filter support scaled by the downscale
+// factor (antialiasing) and per-pass round+clip.  The Python loader path
+// (data/datasets.py::decode_canvas) uses PIL itself; this reproduces it so
+// pixels are identical (±1 fixed-point rounding) across backends.
 
-// Point-sampled bilinear over a scaled+cropped window (half-pixel centers).
-// The Python loaders mirror this math exactly (data/datasets.py::
-// _bilinear_canvas) so decode semantics are identical across backends.
-void sample_bilinear(const Image& src, double scale_y, double scale_x,
-                     int top, int left, int target, uint8_t* dst) {
-  for (int y = 0; y < target; ++y) {
-    const double sy = (y + top + 0.5) / scale_y - 0.5;
-    const int y0 = sy < 0 ? 0 : (sy >= src.h - 1 ? src.h - 2 : int(sy));
-    const double fy = sy - y0 < 0 ? 0 : (sy - y0 > 1 ? 1 : sy - y0);
-    for (int x = 0; x < target; ++x) {
-      const double sx = (x + left + 0.5) / scale_x - 0.5;
-      const int x0 = sx < 0 ? 0 : (sx >= src.w - 1 ? src.w - 2 : int(sx));
-      const double fx = sx - x0 < 0 ? 0 : (sx - x0 > 1 ? 1 : sx - x0);
-      const uint8_t* p00 = src.data.data() + (size_t(y0) * src.w + x0) * 3;
-      const uint8_t* p01 = p00 + 3;
-      const uint8_t* p10 = p00 + size_t(src.w) * 3;
-      const uint8_t* p11 = p10 + 3;
-      uint8_t* o = dst + (size_t(y) * target + x) * 3;
-      for (int ch = 0; ch < 3; ++ch) {
-        const double v = (1 - fy) * ((1 - fx) * p00[ch] + fx * p01[ch]) +
-                         fy * ((1 - fx) * p10[ch] + fx * p11[ch]);
-        o[ch] = uint8_t(v + 0.5);
+double bicubic_w(double x) {  // PIL bicubic kernel, a = -0.5
+  const double a = -0.5;
+  x = x < 0 ? -x : x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// PIL-spec coefficient build for one axis (ImagingPrecomputeCoeffs
+// semantics, double precision instead of PIL's int16 fixed point).
+int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                      std::vector<double>* kk) {
+  const double scale = double(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 2.0 * filterscale;
+  const int ksize = int(ceil(support)) * 2 + 1;
+  kk->assign(size_t(out_size) * ksize, 0.0);
+  bounds->assign(size_t(out_size) * 2, 0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    const double ss = 1.0 / filterscale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = kk->data() + size_t(xx) * ksize;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = bicubic_w((x + xmin - center + 0.5) * ss);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    (*bounds)[size_t(xx) * 2] = xmin;
+    (*bounds)[size_t(xx) * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
+inline uint8_t clip8(double v) {
+  const int i = int(v + 0.5);  // PIL: round then clip, per pass
+  return uint8_t(i < 0 ? 0 : (i > 255 ? 255 : i));
+}
+
+// Full-image resample to (nh, nw): horizontal pass then vertical pass with
+// per-pass uint8 round+clip, like PIL's two-pass pipeline.
+void pil_resample(const Image& src, int nh, int nw, Image* dst) {
+  std::vector<int> bx, by;
+  std::vector<double> kx, ky;
+  const int kxs = precompute_coeffs(src.w, nw, &bx, &kx);
+  const int kys = precompute_coeffs(src.h, nh, &by, &ky);
+  std::vector<uint8_t> tmp(size_t(src.h) * nw * 3);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* row = src.data.data() + size_t(y) * src.w * 3;
+    uint8_t* orow = tmp.data() + size_t(y) * nw * 3;
+    for (int x = 0; x < nw; ++x) {
+      const int xmin = bx[size_t(x) * 2], xmax = bx[size_t(x) * 2 + 1];
+      const double* k = kx.data() + size_t(x) * kxs;
+      for (int c = 0; c < 3; ++c) {
+        double s = 0.0;
+        for (int i = 0; i < xmax; ++i) s += row[(xmin + i) * 3 + c] * k[i];
+        orow[x * 3 + c] = clip8(s);
+      }
+    }
+  }
+  dst->h = nh;
+  dst->w = nw;
+  dst->data.resize(size_t(nh) * nw * 3);
+  for (int y = 0; y < nh; ++y) {
+    const int ymin = by[size_t(y) * 2], ymax = by[size_t(y) * 2 + 1];
+    const double* k = ky.data() + size_t(y) * kys;
+    uint8_t* orow = dst->data.data() + size_t(y) * nw * 3;
+    for (int x = 0; x < nw; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        double s = 0.0;
+        for (int i = 0; i < ymax; ++i)
+          s += tmp[(size_t(ymin + i) * nw + x) * 3 + c] * k[i];
+        orow[x * 3 + c] = clip8(s);
       }
     }
   }
 }
 
-// Resize short side to `target`, center-crop to target x target
-// (the reference eval transform: Resize(256) + CenterCrop,
-// datasets/image_datasets.py:22-24 scaled to the canvas).
+// torchvision CenterCrop offset: int(round(extra / 2.0)) with Python's
+// round-half-even.
+int center_off(int extra) {
+  if (extra % 2 == 0) return extra / 2;
+  const int k = extra / 2;      // floor (extra >= 0 here)
+  return (k % 2 == 0) ? k : k + 1;
+}
+
+// Resize short side to `target` (torchvision size math: long side
+// truncates), center-crop to target x target — the reference eval
+// transform Resize(256)+CenterCrop (datasets/image_datasets.py:22-24
+// scaled to the canvas).
 void resize_center_crop(const Image& src, int target, uint8_t* dst) {
-  const double scale = double(target) / (src.w < src.h ? src.w : src.h);
-  const int nh = int(src.h * scale + 0.5), nw = int(src.w * scale + 0.5);
-  sample_bilinear(src, scale, scale, (nh - target) / 2, (nw - target) / 2,
-                  target, dst);
+  int nh, nw;
+  if (src.w <= src.h) {
+    nw = target;
+    nh = int(double(target) * src.h / src.w);
+  } else {
+    nh = target;
+    nw = int(double(target) * src.w / src.h);
+  }
+  Image r;
+  pil_resample(src, nh, nw, &r);
+  const int top = center_off(nh - target), left = center_off(nw - target);
+  for (int y = 0; y < target; ++y)
+    memcpy(dst + size_t(y) * target * 3,
+           r.data.data() + (size_t(y + top) * nw + left) * 3,
+           size_t(target) * 3);
 }
 
 // Aspect-destroying square resize (the reference VTAB no-aug transform:
 // Resize((224,224)), datasets/image_datasets_noaug.py:16-23).
 void resize_square(const Image& src, int target, uint8_t* dst) {
-  sample_bilinear(src, double(target) / src.h, double(target) / src.w,
-                  0, 0, target, dst);
+  Image r;
+  pil_resample(src, target, target, &r);
+  memcpy(dst, r.data.data(), size_t(target) * target * 3);
 }
 
 // ---------------------------------------------------------------- loader ---

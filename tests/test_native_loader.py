@@ -134,3 +134,38 @@ def test_native_loader_counts_decode_failures(tmp_path, image_dir):
     dl.set_epoch(0)
     list(dl)
     assert dl._lib.dyt_loader_decode_failures(dl._handle) == 1
+
+
+def test_canvas_matches_torchvision_reference_transform(tmp_path):
+    """The decode canvas must be PIXEL-IDENTICAL to the reference eval
+    transform (torchvision Resize(canvas, interpolation=3) +
+    CenterCrop(canvas), image_datasets.py:22-24) and to the VTAB no-aug
+    Resize((canvas, canvas), interpolation=3).  torchvision isn't in this
+    image, so the reference is PIL bicubic with torchvision's documented
+    size math (long side truncates; crop offsets round half-even), written
+    here independently of the implementation.  The native C++ resampler
+    reproduces PIL to +-1."""
+    from PIL import Image
+
+    from dynamic_tuning_tpu.data.datasets import decode_canvas
+
+    rs = np.random.RandomState(7)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(rs.randint(0, 256, (171, 313, 3), np.uint8)).save(p)
+    img = Image.open(p).convert("RGB")
+
+    # torchvision Resize(64): short side -> 64, long side int(64*long/short)
+    w, h = img.size                      # (313, 171)
+    nw, nh = int(64 * w / h), 64         # h is the short side here
+    r = img.resize((nw, nh), Image.BICUBIC)
+    left, top = round((nw - 64) / 2.0), round((nh - 64) / 2.0)
+    ref_eval = np.asarray(r.crop((left, top, left + 64, top + 64)), np.uint8)
+    np.testing.assert_array_equal(decode_canvas(p, 64), ref_eval)
+
+    ref_sq = np.asarray(img.resize((64, 64), Image.BICUBIC), np.uint8)
+    np.testing.assert_array_equal(decode_canvas(p, 64, square=True), ref_sq)
+
+    for square, ref in ((False, ref_eval), (True, ref_sq)):
+        native = NL.decode_resize(p, 64, square=square)
+        diff = np.abs(native.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
