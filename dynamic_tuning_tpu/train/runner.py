@@ -146,9 +146,11 @@ class Runner:
         if self.cfg.data.no_aug:
             s = self.model_cfg.img_size
             if imgs.shape[1] != s:   # canvas != model resolution: resize
-                imgs = jax.image.resize(
+                # cubic = PIL-bicubic kernel, the reference's
+                # interpolation=3 (image_datasets_noaug.py:16-23)
+                imgs = jnp.clip(jax.image.resize(
                     imgs.astype(jnp.float32),
-                    (imgs.shape[0], s, s, imgs.shape[-1]), "bilinear")
+                    (imgs.shape[0], s, s, imgs.shape[-1]), "cubic"), 0, 255)
             xb = normalize_batch(imgs, self.cfg.data.inception_norm)
         else:
             if train:
