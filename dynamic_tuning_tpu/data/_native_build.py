@@ -25,12 +25,21 @@ def build_and_load(src: str, so: str,
     if not os.path.exists(so) or (os.path.exists(src) and
                                   os.path.getmtime(src) > os.path.getmtime(so)):
         tmp = f"{so}.{os.getpid()}.tmp"
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp] + link_libs,
-                check=True, capture_output=True)
-            os.replace(tmp, so)
-        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        built = False
+        # -march=native vectorizes the resample/decode hot loops; retry
+        # plain -O3 on toolchains that reject it
+        for extra in (["-march=native"], []):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", *extra, src,
+                     "-o", tmp] + link_libs,
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
+                built = True
+                break
+            except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+                continue
+        if not built:
             if os.path.exists(tmp):
                 try:
                     os.remove(tmp)

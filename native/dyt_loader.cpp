@@ -178,13 +178,15 @@ int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
   return ksize;
 }
 
-inline uint8_t clip8(double v) {
-  const int i = int(v + 0.5);  // PIL: round then clip, per pass
+inline uint8_t clip8(float v) {
+  const int i = int(v + 0.5f);  // PIL: round then clip, per pass
   return uint8_t(i < 0 ? 0 : (i > 255 ? 255 : i));
 }
 
 // Full-image resample to (nh, nw): horizontal pass then vertical pass with
-// per-pass uint8 round+clip, like PIL's two-pass pipeline.
+// per-pass uint8 round+clip, like PIL's two-pass pipeline.  float
+// accumulators; the vertical pass accumulates whole ROWS (sequential reads,
+// auto-vectorizable) instead of walking columns.
 void pil_resample(const Image& src, int nh, int nw, Image* dst) {
   std::vector<int> bx, by;
   std::vector<double> kx, ky;
@@ -197,28 +199,34 @@ void pil_resample(const Image& src, int nh, int nw, Image* dst) {
     for (int x = 0; x < nw; ++x) {
       const int xmin = bx[size_t(x) * 2], xmax = bx[size_t(x) * 2 + 1];
       const double* k = kx.data() + size_t(x) * kxs;
-      for (int c = 0; c < 3; ++c) {
-        double s = 0.0;
-        for (int i = 0; i < xmax; ++i) s += row[(xmin + i) * 3 + c] * k[i];
-        orow[x * 3 + c] = clip8(s);
+      const uint8_t* p = row + size_t(xmin) * 3;
+      float s0 = 0.f, s1 = 0.f, s2 = 0.f;
+      for (int i = 0; i < xmax; ++i) {
+        const float w = float(k[i]);
+        s0 += p[i * 3] * w;
+        s1 += p[i * 3 + 1] * w;
+        s2 += p[i * 3 + 2] * w;
       }
+      orow[x * 3] = clip8(s0);
+      orow[x * 3 + 1] = clip8(s1);
+      orow[x * 3 + 2] = clip8(s2);
     }
   }
   dst->h = nh;
   dst->w = nw;
   dst->data.resize(size_t(nh) * nw * 3);
+  std::vector<float> acc(size_t(nw) * 3);
   for (int y = 0; y < nh; ++y) {
     const int ymin = by[size_t(y) * 2], ymax = by[size_t(y) * 2 + 1];
     const double* k = ky.data() + size_t(y) * kys;
-    uint8_t* orow = dst->data.data() + size_t(y) * nw * 3;
-    for (int x = 0; x < nw; ++x) {
-      for (int c = 0; c < 3; ++c) {
-        double s = 0.0;
-        for (int i = 0; i < ymax; ++i)
-          s += tmp[(size_t(ymin + i) * nw + x) * 3 + c] * k[i];
-        orow[x * 3 + c] = clip8(s);
-      }
+    std::fill(acc.begin(), acc.end(), 0.f);
+    for (int i = 0; i < ymax; ++i) {
+      const float w = float(k[i]);
+      const uint8_t* row = tmp.data() + size_t(ymin + i) * nw * 3;
+      for (int j = 0; j < nw * 3; ++j) acc[j] += row[j] * w;
     }
+    uint8_t* orow = dst->data.data() + size_t(y) * nw * 3;
+    for (int j = 0; j < nw * 3; ++j) orow[j] = clip8(acc[j]);
   }
 }
 
