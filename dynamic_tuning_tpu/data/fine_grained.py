@@ -21,7 +21,7 @@ Samples = List[Tuple[str, int]]
 
 class FileListDataset:
     """(path, label) samples decoded to a fixed canvas (short-side resize +
-    center crop, the shared bilinear of datasets.decode_canvas) — the same
+    center crop, the shared PIL-bicubic canvas of datasets.decode_canvas) — the same
     protocol as datasets.ImageFolder, so make_loader picks the native C++
     pipeline automatically and both backends yield identical pixels."""
 
