@@ -51,6 +51,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--drop_path", type=float, default=0.0)
     parser.add_argument("--inception", action="store_true",
                         help="inception mean/std (jx IN21K pretrain)")
+    parser.add_argument("--canvas", type=int, default=None,
+                        help="decode-canvas short side (default 256 aug / "
+                             "224 no-aug); larger keeps more source detail "
+                             "for the train crop at loader cost")
     parser.add_argument("--fulltune", action="store_true",
                         help="train the full backbone, not just adapters/"
                              "router/head (reference main_image.py:254)")
@@ -103,7 +107,8 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                         warmup_epochs=args.warmup_epochs, epochs=args.epochs)
     data = DataConfig(dataset=args.dataset, data_path=args.data_path,
                       batch_size=args.batch_size, num_workers=args.num_workers,
-                      inception_norm=args.inception, no_aug=no_aug)
+                      inception_norm=args.inception, no_aug=no_aug,
+                      canvas=getattr(args, "canvas", None))
     model = ModelConfig(num_classes=args.nb_classes,
                         drop_path_rate=args.drop_path,
                         gelu_approx=args.gelu_approx,

@@ -133,6 +133,10 @@ class DataConfig:
     num_workers: int = 4
     inception_norm: bool = False            # IN21K jx checkpoints use inception mean/std
     no_aug: bool = False                    # VTAB-1K trains without augmentation
+    # decode-canvas short side (None = 224 no-aug / 256 aug).  The reference
+    # random-crops the ORIGINAL image; a larger canvas keeps more detail for
+    # the on-device RandomResizedCrop at proportional loader cost.
+    canvas: Optional[int] = None
     # video:
     num_frames: int = 8
     sampling_rate: int = 16

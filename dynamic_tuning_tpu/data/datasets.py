@@ -184,18 +184,21 @@ def load_cifar10(root: str, train: bool) -> ArrayDataset:
 # builder (reference build_image_dataset, datasets/image_datasets.py:8-105)
 # ---------------------------------------------------------------------------
 
-def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False):
+def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
+                        canvas: int = 0):
     """-> (train_ds, val_ds, num_classes, metric).
 
     ``no_aug`` selects the VTAB 224x224 canvas (both splits resized, no
     augmentation — reference image_datasets_noaug.py); otherwise the train
-    canvas keeps enough pixels for on-device RandomResizedCrop.
+    canvas keeps enough pixels for on-device RandomResizedCrop.  ``canvas``
+    overrides the short side (0 = default): larger keeps more source detail
+    for the train crop at proportional loader cost.
     """
-    canvas = 224 if no_aug else 256
+    canvas = canvas or (224 if no_aug else 256)
     if dataset.startswith("synthetic"):
         nc = 100
-        train = SyntheticDataset(1024, 224 if no_aug else 256, nc)
-        val = SyntheticDataset(256, 224 if no_aug else 256, nc, seed=1)
+        train = SyntheticDataset(1024, canvas, nc)
+        val = SyntheticDataset(256, canvas, nc, seed=1)
         return train, val, nc, "accuracy"
     if dataset == "cifar100":
         return (*_pair(load_cifar100, data_path), 100, "accuracy")

@@ -54,7 +54,8 @@ class Runner:
 
         # data -------------------------------------------------------------
         train_ds, val_ds, nb_classes, metric = build_image_dataset(
-            cfg.data.dataset, cfg.data.data_path, no_aug=cfg.data.no_aug)
+            cfg.data.dataset, cfg.data.data_path, no_aug=cfg.data.no_aug,
+            canvas=cfg.data.canvas or 0)
         self.metric_name = metric
         self.nb_classes = nb_classes
         self.train_loader = make_loader(
