@@ -63,18 +63,41 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  cinfo.out_color_space = JCS_RGB;
+  // CMYK/YCCK JPEGs (PIL decodes these; ImageNet contains a few): libjpeg
+  // can't convert them to RGB itself, so decode as CMYK and convert below.
+  const bool cmyk = (cinfo.jpeg_color_space == JCS_CMYK ||
+                     cinfo.jpeg_color_space == JCS_YCCK);
+  cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
-  if (size_t(out->w) * out->h > size_t(100) * 1000 * 1000) {
+  if (size_t(out->w) * out->h >= size_t(100) * 1000 * 1000) {
     jpeg_destroy_decompress(&cinfo);  // corrupt-header guard (see PNG path)
     return false;
   }
   out->data.resize(size_t(out->w) * out->h * 3);
+  std::vector<uint8_t> cm;
+  if (cmyk) cm.resize(size_t(out->w) * 4);
+  const bool adobe = cinfo.saw_Adobe_marker != 0;
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    uint8_t* rgb = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    if (!cmyk) {
+      jpeg_read_scanlines(&cinfo, &rgb, 1);
+      continue;
+    }
+    uint8_t* crow = cm.data();
+    jpeg_read_scanlines(&cinfo, &crow, 1);
+    for (int x = 0; x < out->w; ++x) {
+      // Adobe files store INVERTED ink (the common case; what PIL's
+      // 'CMYK;I' rawmode + convert('RGB') yields): rgb = c*k/255.
+      // Plain CMYK: rgb = (255-c)*(255-k)/255.
+      const uint8_t* p = crow + size_t(x) * 4;
+      const int k = adobe ? p[3] : 255 - p[3];
+      for (int ch = 0; ch < 3; ++ch) {
+        const int c = adobe ? p[ch] : 255 - p[ch];
+        rgb[x * 3 + ch] = uint8_t((c * k + 127) / 255);
+      }
+    }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
@@ -86,17 +109,30 @@ bool decode_png_mem(const uint8_t* buf, size_t len, Image* out) {
   memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&img, buf, len)) return false;
-  img.format = PNG_FORMAT_RGB;
+  // read RGBA and DROP alpha below: asking libpng for RGB would composite
+  // transparent pixels onto black, but PIL's convert('RGB') (the Python
+  // loader path) discards the alpha band and keeps the raw RGB values
+  img.format = PNG_FORMAT_RGBA;
   out->w = img.width;
   out->h = img.height;
   // adversarial-header guard: cap at ~100 MP so a corrupt 65500x65500
   // header fails the decode (zero-filled + counted) instead of throwing
   // bad_alloc out of the worker thread
-  if (size_t(out->w) * out->h > size_t(100) * 1000 * 1000) return false;
-  out->data.resize(PNG_IMAGE_SIZE(img));
-  if (!png_image_finish_read(&img, nullptr, out->data.data(), 0, nullptr)) {
+  if (size_t(out->w) * out->h >= size_t(100) * 1000 * 1000) {
+    png_image_free(&img);  // begin_read allocated internal state
+    return false;
+  }
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, rgba.data(), 0, nullptr)) {
     png_image_free(&img);
     return false;
+  }
+  out->data.resize(size_t(out->w) * out->h * 3);
+  const size_t n = size_t(out->w) * out->h;
+  for (size_t i = 0; i < n; ++i) {
+    out->data[i * 3] = rgba[i * 4];
+    out->data[i * 3 + 1] = rgba[i * 4 + 1];
+    out->data[i * 3 + 2] = rgba[i * 4 + 2];
   }
   return true;
 }
@@ -148,7 +184,7 @@ double bicubic_w(double x) {  // PIL bicubic kernel, a = -0.5
 // PIL-spec coefficient build for one axis (ImagingPrecomputeCoeffs
 // semantics, double precision instead of PIL's int16 fixed point).
 int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
-                      std::vector<double>* kk) {
+                      std::vector<float>* kk) {
   const double scale = double(in_size) / out_size;
   const double filterscale = scale < 1.0 ? 1.0 : scale;
   const double support = 2.0 * filterscale;
@@ -163,15 +199,15 @@ int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
     int xmax = int(center + support + 0.5);
     if (xmax > in_size) xmax = in_size;
     xmax -= xmin;
-    double* k = kk->data() + size_t(xx) * ksize;
+    float* k = kk->data() + size_t(xx) * ksize;
     double ww = 0.0;
+    std::vector<double> tmpw(xmax);
     for (int x = 0; x < xmax; ++x) {
-      const double w = bicubic_w((x + xmin - center + 0.5) * ss);
-      k[x] = w;
-      ww += w;
+      tmpw[x] = bicubic_w((x + xmin - center + 0.5) * ss);
+      ww += tmpw[x];
     }
-    if (ww != 0.0)
-      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    for (int x = 0; x < xmax; ++x)
+      k[x] = float(ww != 0.0 ? tmpw[x] / ww : tmpw[x]);
     (*bounds)[size_t(xx) * 2] = xmin;
     (*bounds)[size_t(xx) * 2 + 1] = xmax;
   }
@@ -189,7 +225,7 @@ inline uint8_t clip8(float v) {
 // auto-vectorizable) instead of walking columns.
 void pil_resample(const Image& src, int nh, int nw, Image* dst) {
   std::vector<int> bx, by;
-  std::vector<double> kx, ky;
+  std::vector<float> kx, ky;
   const int kxs = precompute_coeffs(src.w, nw, &bx, &kx);
   const int kys = precompute_coeffs(src.h, nh, &by, &ky);
   std::vector<uint8_t> tmp(size_t(src.h) * nw * 3);
@@ -198,11 +234,11 @@ void pil_resample(const Image& src, int nh, int nw, Image* dst) {
     uint8_t* orow = tmp.data() + size_t(y) * nw * 3;
     for (int x = 0; x < nw; ++x) {
       const int xmin = bx[size_t(x) * 2], xmax = bx[size_t(x) * 2 + 1];
-      const double* k = kx.data() + size_t(x) * kxs;
+      const float* k = kx.data() + size_t(x) * kxs;
       const uint8_t* p = row + size_t(xmin) * 3;
       float s0 = 0.f, s1 = 0.f, s2 = 0.f;
       for (int i = 0; i < xmax; ++i) {
-        const float w = float(k[i]);
+        const float w = k[i];
         s0 += p[i * 3] * w;
         s1 += p[i * 3 + 1] * w;
         s2 += p[i * 3 + 2] * w;
@@ -218,10 +254,10 @@ void pil_resample(const Image& src, int nh, int nw, Image* dst) {
   std::vector<float> acc(size_t(nw) * 3);
   for (int y = 0; y < nh; ++y) {
     const int ymin = by[size_t(y) * 2], ymax = by[size_t(y) * 2 + 1];
-    const double* k = ky.data() + size_t(y) * kys;
+    const float* k = ky.data() + size_t(y) * kys;
     std::fill(acc.begin(), acc.end(), 0.f);
     for (int i = 0; i < ymax; ++i) {
-      const float w = float(k[i]);
+      const float w = k[i];
       const uint8_t* row = tmp.data() + size_t(ymin + i) * nw * 3;
       for (int j = 0; j < nw * 3; ++j) acc[j] += row[j] * w;
     }
@@ -241,15 +277,21 @@ int center_off(int extra) {
 // Resize short side to `target` (torchvision size math: long side
 // truncates), center-crop to target x target — the reference eval
 // transform Resize(256)+CenterCrop (datasets/image_datasets.py:22-24
-// scaled to the canvas).
-void resize_center_crop(const Image& src, int target, uint8_t* dst) {
+// scaled to the canvas).  Returns false on absurd geometry (extreme
+// aspect ratios would overflow int / allocate GBs — treat like a decode
+// failure: zero-fill + count, don't kill the run).
+bool resize_center_crop(const Image& src, int target, uint8_t* dst) {
+  const double long_side = src.w <= src.h
+      ? double(target) * src.h / src.w
+      : double(target) * src.w / src.h;
+  if (long_side > 65535.0) return false;
   int nh, nw;
   if (src.w <= src.h) {
     nw = target;
-    nh = int(double(target) * src.h / src.w);
+    nh = int(long_side);
   } else {
     nh = target;
-    nw = int(double(target) * src.w / src.h);
+    nw = int(long_side);
   }
   Image r;
   pil_resample(src, nh, nw, &r);
@@ -258,14 +300,16 @@ void resize_center_crop(const Image& src, int target, uint8_t* dst) {
     memcpy(dst + size_t(y) * target * 3,
            r.data.data() + (size_t(y + top) * nw + left) * 3,
            size_t(target) * 3);
+  return true;
 }
 
 // Aspect-destroying square resize (the reference VTAB no-aug transform:
 // Resize((224,224)), datasets/image_datasets_noaug.py:16-23).
-void resize_square(const Image& src, int target, uint8_t* dst) {
+bool resize_square(const Image& src, int target, uint8_t* dst) {
   Image r;
   pil_resample(src, target, target, &r);
   memcpy(dst, r.data.data(), size_t(target) * target * 3);
+  return true;
 }
 
 // ---------------------------------------------------------------- loader ---
@@ -364,11 +408,13 @@ struct Loader {
       for (int64_t i = start; i < end; ++i) {
         const int64_t idx = order[i];
         Image img;
-        if (decode_any(paths[idx], &img) && img.w > 1 && img.h > 1) {
+        bool ok = decode_any(paths[idx], &img) && img.w > 1 && img.h > 1;
+        if (ok) {
           uint8_t* out = batch.images.data() + size_t(i - start) * img_bytes;
-          if (square) resize_square(img, canvas, out);
-          else resize_center_crop(img, canvas, out);
-        } else {
+          ok = square ? resize_square(img, canvas, out)
+                      : resize_center_crop(img, canvas, out);
+        }
+        if (!ok) {
           // policy (pinned by tests): zero-fill and keep going, but COUNT
           // it and warn — silent black images skew training invisibly
           const int64_t k = decode_failures.fetch_add(1);
@@ -449,6 +495,7 @@ void* dyt_loader_create(const char** paths, const int32_t* labels, int64_t n,
                         int shuffle, int drop_last, uint64_t seed,
                         int proc_index, int proc_count, int square) {
   auto* L = new Loader();
+  if (batch_size <= 0) batch_size = 1;  // 0 would SIGFPE in the batch math
   L->paths.reserve(n);
   L->labels.assign(labels, labels + n);
   for (int64_t i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
@@ -509,9 +556,8 @@ int dyt_decode_resize(const char* path, int canvas, int square,
                       uint8_t* out) {
   Image img;
   if (!decode_any(path, &img) || img.w < 2 || img.h < 2) return 0;
-  if (square) resize_square(img, canvas, out);
-  else resize_center_crop(img, canvas, out);
-  return 1;
+  return (square ? resize_square(img, canvas, out)
+                 : resize_center_crop(img, canvas, out)) ? 1 : 0;
 }
 
 }  // extern "C"

@@ -169,3 +169,28 @@ def test_canvas_matches_torchvision_reference_transform(tmp_path):
         native = NL.decode_resize(p, 64, square=square)
         diff = np.abs(native.astype(int) - ref.astype(int))
         assert diff.max() <= 1, diff.max()
+
+
+def test_cmyk_jpeg_and_rgba_png_match_pil(tmp_path):
+    """CMYK/YCCK JPEGs (ImageNet contains some) and RGBA PNGs must decode
+    like PIL: CMYK converts (Adobe-inverted ink handled), alpha is DROPPED
+    (not composited onto black) — review findings: both previously
+    zero-filled or diverged from the Python path."""
+    from PIL import Image
+
+    from dynamic_tuning_tpu.data.datasets import decode_canvas
+
+    rs = np.random.RandomState(0)
+    pc = str(tmp_path / "c.jpg")
+    Image.fromarray(rs.randint(0, 256, (80, 61, 4), np.uint8),
+                    "CMYK").save(pc, quality=95)
+    a, b = NL.decode_resize(pc, 32), decode_canvas(pc, 32)
+    assert a.any(), "CMYK jpeg was zero-filled"
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    rgba = rs.randint(0, 256, (60, 90, 4), np.uint8)
+    rgba[:20, :, 3] = 0       # transparent rows with real RGB underneath
+    pp = str(tmp_path / "a.png")
+    Image.fromarray(rgba, "RGBA").save(pp)
+    a, b = NL.decode_resize(pp, 32), decode_canvas(pp, 32)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
