@@ -80,7 +80,13 @@ def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
     (image_datasets.py:17,22).  Output is clamped to [0, 255] like PIL's
     per-pass uint8 clip (cubic overshoots on edges).  On the 256->224 eval
     center crop (scale 1, integer offsets) the kernel reduces to an exact
-    crop, so eval pixels come straight from the PIL-bicubic canvas."""
+    crop, so eval pixels come straight from the PIL-bicubic canvas.
+
+    Known train-aug border subtlety vs torchvision: RandomResizedCrop crops
+    FIRST, so kernel taps at the box edge replicate crop-edge pixels; this
+    fused form samples the full canvas, so edge taps read the true
+    neighboring pixels instead (a <=2-px band, augmentation-time only —
+    dynamic box shapes can't be sliced under jit)."""
     scale_y = out_size / ch
     scale_x = out_size / cw
     # translation maps input coord `top` to output 0: out = in*scale + t
