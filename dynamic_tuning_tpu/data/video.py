@@ -18,6 +18,7 @@ all augmentation happens on device (data/video_transforms.py).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -217,10 +218,13 @@ class VideoDataset:
             frame = raw.get(i)
             if frame is not None:
                 h, w = frame.shape[:2]
-                scale = short_side / min(h, w)
-                frame = _bilinear_resize(
-                    frame, max(int(round(w * scale)), short_side),
-                    max(int(round(h * scale)), short_side))
+                # reference eval aspect math (k400.py:195-199): short side
+                # exact, long side floors
+                if h <= w:
+                    nh, nw = short_side, max(w * short_side // h, short_side)
+                else:
+                    nh, nw = max(h * short_side // w, short_side), short_side
+                frame = _bicubic_resize(frame, nw, nh)
                 shape = frame.shape
             frames[i] = frame
         if shape is None:
@@ -316,34 +320,41 @@ class VideoDataset:
         return np.stack(views), label
 
 
-def _bilinear_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
-    """uint8 HWC bilinear resize; cv2 when present, PIL otherwise so the
-    aspect path works on installs whose decode backend isn't cv2 (the
-    backend-fallback design must not reintroduce a hard cv2 dependency).
+@lru_cache(maxsize=256)
+def _tb_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """float32 torch-bicubic (A=-0.75, align_corners=False) axis matrix —
+    the kernel the reference resizes video with (k400.py:203
+    F.interpolate(mode='bicubic')); shared with the pos-embed importer."""
+    from dynamic_tuning_tpu.utils.pos_embed import _bicubic_matrix
 
-    Caveat: PIL BILINEAR area-filters when downscaling while cv2
-    INTER_LINEAR point-samples a 2x2 neighbourhood, so pixels differ by a
-    few gray levels between the two paths.  Eval protocols mostly upscale
-    (short side -> 224/256), and any one install uses one path
-    consistently; treat cross-install eval deltas at the <=0.1% level
-    accordingly."""
-    try:
-        import cv2
+    return _bicubic_matrix(n_in, n_out).astype(np.float32)
 
-        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    except ImportError:
-        from PIL import Image
 
-        return np.asarray(Image.fromarray(img).resize((nw, nh),
-                                                      Image.BILINEAR))
+def _bicubic_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """uint8 HWC resize with the reference's exact kernel: torch bicubic
+    A=-0.75, half-pixel coords (k400.py interpolation='bicubic' default).
+    Pure numpy matrices — no cv2/PIL dependency, identical on every
+    install (the old bilinear path differed between cv2 and PIL).
+
+    The reference resizes AFTER normalization without clamping; bicubic
+    weights sum to 1, so the resize commutes with the affine normalize and
+    the only deviation is the uint8 round/clip here (<=1 gray level except
+    at overshooting hard edges)."""
+    out = np.einsum("oh,hwc->owc", _tb_matrix(img.shape[0], nh),
+                    img.astype(np.float32))
+    out = np.einsum("pw,owc->opc", _tb_matrix(img.shape[1], nw), out)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
 def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
-    """Resize short side to ``target`` then center-crop to a square canvas."""
+    """Resize short side to ``target`` then center-crop to a square canvas
+    (reference eval size math: long side floors, k400.py:195-199)."""
     h, w = img.shape[:2]
-    scale = target / min(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
-    img = _bilinear_resize(img, nw, nh)
+    if h <= w:
+        nh, nw = target, w * target // h
+    else:
+        nh, nw = h * target // w, target
+    img = _bicubic_resize(img, nw, nh)
     top = (nh - target) // 2
     left = (nw - target) // 2
     return img[top:top + target, left:left + target]

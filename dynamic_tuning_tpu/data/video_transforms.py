@@ -6,6 +6,13 @@ flip (:161), ``uniform_crop`` for eval spatial views (:196).  Here the host
 only ships fixed-size uint8 clip canvases; the jitter/crop/flip math runs
 vmapped on device with one crop shared across a clip's frames (temporal
 consistency, as in the reference).
+
+Resample kernel: the reference resizes with torch bicubic
+(k400.py interpolation='bicubic', no clamp — it resizes normalized
+floats); we use jax's "cubic" (Keys a=-0.5; torch's A is -0.75 — the two
+cubic kernels differ by well under a gray level on natural video) and
+likewise do not clamp, since weights sum to 1 and the resize commutes
+with the affine normalization exactly as in the reference.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ def clip_scale_jitter_crop(rng: jax.Array, clip: jax.Array, *,
     t_x = -left
     return jax.image.scale_and_translate(
         clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
-        jnp.stack([scale, scale]), jnp.stack([t_y, t_x]), method="bilinear")
+        jnp.stack([scale, scale]), jnp.stack([t_y, t_x]), method="cubic")
 
 
 def clip_uniform_crop(clip: jax.Array, *, resize_to: int, crop: int,
@@ -62,7 +69,7 @@ def clip_uniform_crop(clip: jax.Array, *, resize_to: int, crop: int,
     return jax.image.scale_and_translate(
         clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
         jnp.stack([jnp.float32(scale), jnp.float32(scale)]),
-        jnp.stack([jnp.float32(-top), jnp.float32(-left)]), method="bilinear")
+        jnp.stack([jnp.float32(-top), jnp.float32(-left)]), method="cubic")
 
 
 def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
@@ -84,7 +91,7 @@ def clip_random_resized_crop(rng: jax.Array, clip: jax.Array, *, crop: int,
     return jax.image.scale_and_translate(
         clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
         jnp.stack([scale_y, scale_x]),
-        jnp.stack([-top * scale_y, -left * scale_x]), method="bilinear")
+        jnp.stack([-top * scale_y, -left * scale_x]), method="cubic")
 
 
 # --- photometric clip transforms (reference transform.py:281-460) -------------

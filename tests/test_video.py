@@ -223,3 +223,26 @@ def test_video_tubelet_forward_and_import():
     np.testing.assert_allclose(
         np.asarray(params2["patch_embed"]["proj"]["kernel"]),
         w3d.transpose(2, 3, 4, 1, 0))
+
+
+def test_video_resize_matches_torch_bicubic():
+    """The CPU video resize must reproduce the reference's kernel exactly:
+    torch F.interpolate(mode='bicubic', align_corners=False)
+    (k400.py:195-203, interpolation='bicubic' default) — within the uint8
+    round (reference resizes unclamped floats; weights sum to 1 so the
+    affine normalize commutes)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dynamic_tuning_tpu.data.video import _bicubic_resize
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (90, 120, 3), np.uint8)
+    for nh, nw in [(224, 298), (48, 64), (120, 90)]:
+        got = _bicubic_resize(img, nw, nh).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(img.astype(np.float32)).permute(2, 0, 1)[None],
+            size=(nh, nw), mode="bicubic", align_corners=False
+        )[0].permute(1, 2, 0).numpy()
+        ref = np.clip(ref + 0.5, 0, 255).astype(np.float32)
+        assert np.abs(got - np.floor(ref)).max() <= 1, (nh, nw)
