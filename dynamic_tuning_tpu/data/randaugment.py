@@ -8,6 +8,13 @@ geometric ops go through one bilinear ``map_coordinates`` warp, and per-image
 op selection uses ``lax.switch`` — the whole augmentation runs vmapped on
 device inside the input pipeline.
 
+Known approximation: the reference warps with PIL BICUBIC when the video
+recipe passes interpolation='bicubic' (k400.py:133); jax map_coordinates
+caps at order=1 (bilinear).  Augmentation-time only — timm's own default
+(_RANDOM_INTERPOLATION) already mixes bilinear/bicubic per op, so the aug
+distribution is not kernel-pinned even in torch-land; eval paths use the
+exact reference kernels (see data/video.py, data/transforms.py).
+
 Config strings follow the same grammar: ``rand-m7-n4-mstd0.5-inc1``
 (magnitude 7, 4 ops/image, magnitude jitter std 0.5; inc selects the
 increasing-severity schedules).  Default fill is mid-gray (128), matching the
