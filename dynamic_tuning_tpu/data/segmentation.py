@@ -32,12 +32,40 @@ def _annread(path: str) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, scale: float, nearest: bool = False) -> np.ndarray:
-    from PIL import Image
-
+    """cv2-exact resize — mmseg resizes with mmcv.imresize = cv2.resize
+    (INTER_LINEAR for images: half-pixel-centered POINT-SAMPLED 2x2, no
+    antialiasing even on downscale; INTER_NEAREST for masks: truncated
+    source index with NO half-pixel offset, a known cv2 quirk).  Pure
+    numpy so the pipeline needs no cv2 install; pinned against cv2 in
+    tests/test_ade20k.py."""
     h, w = img.shape[:2]
-    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    mode = Image.NEAREST if nearest else Image.BILINEAR
-    return np.asarray(Image.fromarray(img).resize((nw, nh), mode))
+    nh = max(int(h * scale + 0.5), 1)
+    nw = max(int(w * scale + 0.5), 1)
+    if nearest:
+        # cv2's exact arithmetic: ifx = 1.0 / (dst/src) — the double
+        # reciprocal-of-reciprocal lands just BELOW exact integers, so
+        # boundary pixels floor one index lower than a naive src/dst ratio
+        ys = np.arange(nh) * (1.0 / (nh / h))
+        xs = np.arange(nw) * (1.0 / (nw / w))
+        ys = np.minimum(np.floor(ys).astype(np.int64), h - 1)
+        xs = np.minimum(np.floor(xs).astype(np.int64), w - 1)
+        return img[ys[:, None], xs[None, :]]
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if img.ndim == 3:
+        fy, fx = fy[..., None], fx[..., None]
+    p = img.astype(np.float32)
+    v = ((1 - fy) * ((1 - fx) * p[y0[:, None], x0[None, :]]
+                     + fx * p[y0[:, None], x1[None, :]])
+         + fy * ((1 - fx) * p[y1[:, None], x0[None, :]]
+                 + fx * p[y1[:, None], x1[None, :]]))
+    return (v + 0.5).astype(img.dtype)
 
 
 class ADE20KDataset:

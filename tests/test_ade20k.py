@@ -67,3 +67,27 @@ def test_seg_normalize_mean_std():
     out = seg_normalize(x)
     np.testing.assert_allclose(np.asarray(out), (255 - 127.5) / 127.5,
                                rtol=1e-6)
+
+
+def test_seg_resize_matches_cv2():
+    """mmseg resizes with mmcv.imresize = cv2.resize; the numpy
+    reimplementation must match it: INTER_NEAREST bit-exact (including
+    cv2's 1/(dst/src) double arithmetic at integer boundaries),
+    INTER_LINEAR within the fixed-point rounding (+-1)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from dynamic_tuning_tpu.data.segmentation import _resize
+
+    rs = np.random.RandomState(0)
+    for (h, w) in [(100, 150), (333, 500)]:
+        img = rs.randint(0, 256, (h, w, 3), np.uint8)
+        ann = rs.randint(0, 150, (h, w), np.uint8)
+        for scale in (0.5, 0.75, 1.3, 2.0):
+            nh = max(int(h * scale + 0.5), 1)
+            nw = max(int(w * scale + 0.5), 1)
+            a = _resize(img, scale)
+            b = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+            an = _resize(ann, scale, nearest=True)
+            bn = cv2.resize(ann, (nw, nh), interpolation=cv2.INTER_NEAREST)
+            np.testing.assert_array_equal(an, bn)
