@@ -31,6 +31,41 @@ def _annread(path: str) -> np.ndarray:
     return np.asarray(Image.open(path), np.uint8)
 
 
+def _rgb_to_hsv_u8(img: np.ndarray):
+    """cv2-equivalent uint8 RGB->HSV (H in [0,180), S/V in [0,255]) —
+    mmcv's bgr2hsv is cv2 on uint8; pure numpy so no cv2 install needed."""
+    f = img.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    v = f.max(axis=-1)
+    diff = v - f.min(axis=-1)
+    s = np.where(v > 0, diff * 255.0 / np.maximum(v, 1e-12), 0.0)
+    d = np.maximum(diff, 1e-12)
+    h = np.select(
+        [(v == r) & (diff > 0), (v == g) & (diff > 0), diff > 0],
+        [60.0 * (g - b) / d, 120.0 + 60.0 * (b - r) / d,
+         240.0 + 60.0 * (r - g) / d], 0.0)
+    h = np.where(h < 0, h + 360.0, h) / 2.0
+    return (np.round(h).astype(np.int32) % 180).astype(np.uint8), \
+        np.round(s).astype(np.uint8), v.astype(np.uint8)
+
+
+def _hsv_to_rgb_u8(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """cv2-equivalent uint8 HSV->RGB inverse of ``_rgb_to_hsv_u8``."""
+    hf = h.astype(np.float32) * 2.0
+    sf = s.astype(np.float32) / 255.0
+    vf = v.astype(np.float32)
+    c = vf * sf
+    x = c * (1.0 - np.abs((hf / 60.0) % 2.0 - 1.0))
+    m = vf - c
+    z = np.zeros_like(c)
+    sector = (hf // 60.0).astype(np.int32) % 6
+    r = np.choose(sector, [c, x, z, z, x, c])
+    g = np.choose(sector, [x, c, c, x, z, z])
+    b = np.choose(sector, [z, z, x, c, c, x])
+    out = np.stack([r + m, g + m, b + m], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def _resize(img: np.ndarray, scale: float, nearest: bool = False) -> np.ndarray:
     """cv2-exact resize — mmseg resizes with mmcv.imresize = cv2.resize
     (INTER_LINEAR for images: half-pixel-centered POINT-SAMPLED 2x2, no
@@ -139,16 +174,38 @@ class ADE20KDataset:
                 ann[top:top + c, left:left + c])
 
     def _photometric(self, rs, img: np.ndarray) -> np.ndarray:
-        """Brightness/contrast/saturation jitter (PhotoMetricDistortion)."""
-        out = img.astype(np.float32)
-        if rs.rand() < 0.5:
-            out += rs.uniform(-32, 32)
-        if rs.rand() < 0.5:
-            out *= rs.uniform(0.5, 1.5)
-        if rs.rand() < 0.5:  # saturation via mean-gray mix
-            gray = out.mean(axis=-1, keepdims=True)
-            out = gray + (out - gray) * rs.uniform(0.5, 1.5)
-        return np.clip(out, 0, 255).astype(np.uint8)
+        """mmseg PhotoMetricDistortion semantics (reference pipeline
+        transforms.py:835-932): brightness(+-32) -> contrast(0.5-1.5)
+        randomly BEFORE or AFTER the color ops (contrast_mode) ->
+        saturation (HSV S * 0.5-1.5) -> hue (H +- 18 mod 180), each op
+        applied with prob 0.5 and per-op uint8 clipping."""
+
+        def convert(x, alpha=1.0, beta=0.0):
+            return np.clip(x.astype(np.float32) * alpha + beta,
+                           0, 255).astype(np.uint8)
+
+        def contrast(x):
+            if rs.randint(2):
+                return convert(x, alpha=rs.uniform(0.5, 1.5))
+            return x
+
+        if rs.randint(2):
+            img = convert(img, beta=rs.uniform(-32, 32))
+        mode = rs.randint(2)
+        if mode == 1:
+            img = contrast(img)
+        if rs.randint(2):  # saturation, in HSV like mmcv
+            h, s, v = _rgb_to_hsv_u8(img)
+            s = convert(s, alpha=rs.uniform(0.5, 1.5))
+            img = _hsv_to_rgb_u8(h, s, v)
+        if rs.randint(2):  # hue
+            h, s, v = _rgb_to_hsv_u8(img)
+            h = ((h.astype(np.int32) + rs.randint(-18, 18)) % 180
+                 ).astype(np.uint8)
+            img = _hsv_to_rgb_u8(h, s, v)
+        if mode == 0:
+            img = contrast(img)
+        return img
 
     def __getitem__(self, i):
         img_path, ann_path = self.items[i]
@@ -181,7 +238,10 @@ class ADE20KDataset:
         scale = min(max(self.base_scale) / max(h, w),
                     min(self.base_scale) / min(h, w))
         img = _resize(img, scale)
-        ann = _resize(ann, scale, nearest=True)
+        # the annotation stays at ORIGINAL resolution: mmseg scores mIoU
+        # against the original GT (predictions are resized back to
+        # ori_shape, encoder_decoder.py whole/slide inference) — a
+        # downscaled GT deletes thin structures before scoring
         return img, ann
 
 

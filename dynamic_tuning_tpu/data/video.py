@@ -100,9 +100,12 @@ def _read_frames_cv2(path: str, want: List[int]):
         if i != pos + 1:
             cap.set(cv2.CAP_PROP_POS_FRAMES, i)
         ok, frame = cap.read()
-        pos = i
         if ok:
             frames[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            pos = i
+        else:
+            pos = -2  # decoder position unknown after a failed read:
+                      # force a seek so the next index isn't mislabeled
     cap.release()
     return frames
 
@@ -113,43 +116,52 @@ _READERS = {"native": _read_frames_native, "decord": _read_frames_decord,
 
 def sample_indices_random(num_frames: int, clip_len: int, rate: int,
                           rs: np.random.RandomState) -> np.ndarray:
-    """Random contiguous segment at stride ``rate`` (k400 train)."""
-    span = clip_len * rate
-    if num_frames >= span:
-        start = rs.randint(0, num_frames - span + 1)
-        idx = start + np.arange(clip_len) * rate
-    else:
-        idx = np.linspace(0, max(num_frames - 1, 0), clip_len)
-    return idx.astype(np.int64)
+    """Random contiguous segment at stride ``rate`` — reference-EXACT
+    (k400.py:305-320 _random_sample_frame_idx): the window length is
+    rate*(clip_len-1)+1 (inclusive of the last frame, not clip_len*rate),
+    start is uniform over num_frames - rate*(clip_len-1) positions, and
+    short videos use the clamped stride that repeats the last valid pick
+    (NOT a linspace spread — the temporal receptive field differs)."""
+    if rate * (clip_len - 1) + 1 >= num_frames:
+        idx: List[int] = []
+        for i in range(clip_len):
+            p = i * rate
+            idx.append(p if p < num_frames else idx[-1])
+        return np.asarray(idx, np.int64)
+    start = rs.randint(num_frames - rate * (clip_len - 1))
+    return (start + np.arange(clip_len) * rate).astype(np.int64)
 
 
 def sample_indices_tsn(num_frames: int, clip_len: int,
                        rs: Optional[np.random.RandomState]) -> np.ndarray:
-    """TSN segment sampling (SSv2: rate==0, k400.py:305-313): split the video
-    into clip_len segments, pick one frame per segment (random in train,
-    center in eval)."""
-    edges = np.linspace(0, num_frames, clip_len + 1)
-    if rs is not None:
-        picks = [edges[i] + rs.rand() * (edges[i + 1] - edges[i])
-                 for i in range(clip_len)]
-    else:
-        picks = [(edges[i] + edges[i + 1]) / 2 for i in range(clip_len)]
-    return np.minimum(np.asarray(picks, np.int64), max(num_frames - 1, 0))
+    """TSN segment sampling (SSv2: rate==0) — reference-EXACT: segment size
+    is (num_frames-1)/clip_len with python-round() edges; train picks
+    randint(start, end+1) (k400.py:308-312), eval picks (start+end)//2
+    (k400.py:230-234)."""
+    seg = (num_frames - 1) / clip_len
+    picks = []
+    for i in range(clip_len):
+        start, end = round(seg * i), round(seg * (i + 1))
+        picks.append(rs.randint(start, end + 1) if rs is not None
+                     else (start + end) // 2)
+    return np.asarray(picks, np.int64)
 
 
 def sample_indices_test(num_frames: int, clip_len: int, rate: int,
                         segment_idx: int, num_segments: int) -> np.ndarray:
-    """Temporal multi-view sampling for eval (k400.py:225-248)."""
-    if rate > 0:
-        span = clip_len * rate
-        if num_frames >= span:
-            starts = np.linspace(0, num_frames - span, num_segments)
-            idx = starts[segment_idx] + np.arange(clip_len) * rate
-        else:
-            idx = np.linspace(0, max(num_frames - 1, 0), clip_len)
-    else:
-        idx = sample_indices_tsn(num_frames, clip_len, None)
-    return np.minimum(idx.astype(np.int64), max(num_frames - 1, 0))
+    """Temporal multi-view sampling for eval — reference-EXACT
+    (k400.py:225-248 get_temporal_crops_index): window rate*(clip_len-1)+1,
+    view starts at round(slide/(V-1)*i) (centered slide//2 for V=1),
+    indices clamped to the last frame."""
+    if rate <= 0:
+        return sample_indices_tsn(num_frames, clip_len, None)
+    seg_len = (clip_len - 1) * rate + 1
+    slide = max(num_frames - seg_len, 0)
+    st = (slide // 2 if num_segments == 1
+          else round(slide / (num_segments - 1) * segment_idx))
+    idx = [min(p + st, num_frames - 1)
+           for p in range(0, clip_len * rate, rate)]
+    return np.asarray(idx, np.int64)
 
 
 class VideoDataset:
@@ -305,18 +317,26 @@ class VideoDataset:
                    if self.rate > 0 else
                    sample_indices_tsn(n, self.clip_len, rs))
             return self._decode(path, idx), label
+        # decode the UNION of all segments' frames in ONE reader pass (the
+        # reference builds one frame_dict per open, k400.py:183-190;
+        # per-segment decodes re-open and re-decode overlapping frames)
+        seg_idx = [sample_indices_test(n, self.clip_len, self.rate, seg,
+                                       self.test_num_segment)
+                   for seg in range(self.test_num_segment)]
+        union = sorted({int(x) for ii in seg_idx for x in ii})
+        uarr = np.asarray(union, np.int64)
+        frames = (self._decode_aspect(path, uarr, self.spatial_size)
+                  if self.spatial_size is not None else
+                  self._decode(path, uarr))
+        lut = {f: j for j, f in enumerate(union)}
         views = []
-        for seg in range(self.test_num_segment):
-            idx = sample_indices_test(n, self.clip_len, self.rate, seg,
-                                      self.test_num_segment)
+        for idx in seg_idx:
+            clip = frames[[lut[int(x)] for x in idx]]
             if self.spatial_size is not None:
-                clip = self._decode_aspect(path, idx, self.spatial_size)
                 views.extend(self.spatial_crops(clip, self.spatial_size,
                                                 self.test_num_crop))
             else:
-                clip = self._decode(path, idx)
-                for _ in range(self.test_num_crop):
-                    views.append(clip)
+                views.extend([clip] * self.test_num_crop)
         return np.stack(views), label
 
 

@@ -219,13 +219,22 @@ class SegRunner:
                                                             len(self.val_ds))
         for i in range(jax.process_index(), n, jax.process_count()):
             img, ann = self.val_ds[i]
+            ann = np.asarray(ann)
             x = seg_normalize(jnp.asarray(img))
             logits = slide_inference(self._eval_apply, params, x,
                                      num_classes=self.num_classes,
                                      crop=self.crop, stride=self.slide_stride,
                                      tile_batch=self.tile_batch)
+            if logits.shape[:2] != ann.shape:
+                # mmseg protocol: resize predictions back to the ORIGINAL
+                # GT resolution (bilinear on logits, then argmax) — never
+                # downscale the GT (encoder_decoder.py slide_inference +
+                # resize(..., size=ori_shape))
+                logits = jax.image.resize(
+                    logits, (ann.shape[0], ann.shape[1], logits.shape[-1]),
+                    method="bilinear")
             pred = np.asarray(jnp.argmax(logits, -1))
-            cm += confusion_matrix(pred, np.asarray(ann), self.num_classes)
+            cm += confusion_matrix(pred, ann, self.num_classes)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             cm = np.asarray(multihost_utils.process_allgather(cm)).sum(0)

@@ -55,7 +55,10 @@ def test_eval_sample_keeps_aspect(ade_root):
     ds = ADE20KDataset(ade_root, "validation", crop=64, train=False,
                        base_scale=(256, 64))
     img, ann = ds[0]
-    assert img.shape[:2] == ann.shape
+    # mmseg protocol: the IMAGE is keep-ratio resized for inference, the
+    # GT stays at ORIGINAL resolution (predictions resize back to
+    # ori_shape before scoring — a downscaled GT deletes thin structures)
+    assert ann.shape == (120, 160)
     # keep-ratio: 120x160 scaled so the short side ~64
     assert min(img.shape[:2]) == 64 or max(img.shape[:2]) == 256
 

@@ -246,3 +246,63 @@ def test_video_resize_matches_torch_bicubic():
         )[0].permute(1, 2, 0).numpy()
         ref = np.clip(ref + 0.5, 0, 255).astype(np.float32)
         assert np.abs(got - np.floor(ref)).max() <= 1, (nh, nw)
+
+
+def test_samplers_match_reference_formulas():
+    """Literal transcription of the reference sampling math
+    (k400.py:225-248 get_temporal_crops_index, :305-320
+    _random_sample_frame_idx) vs our samplers, across awkward lengths."""
+    from dynamic_tuning_tpu.data.video import (sample_indices_random,
+                                               sample_indices_test,
+                                               sample_indices_tsn)
+
+    def ref_test(n, clip, rate, views):
+        if rate <= 0:
+            seg = (n - 1) / clip
+            return [[(round(seg * i) + round(seg * (i + 1))) // 2
+                     for i in range(clip)]]
+        seg_len = (clip - 1) * rate + 1
+        slide = max(n - seg_len, 0)
+        out = []
+        for v in range(views):
+            st = slide // 2 if views == 1 else round(slide / (views - 1) * v)
+            out.append([min(p + st, n - 1)
+                        for p in range(0, clip * rate, rate)])
+        return out
+
+    for n in (10, 50, 59, 100, 113, 128, 150, 300):
+        for views in (1, 3):
+            ref = ref_test(n, 8, 16, views)
+            for v in range(views):
+                got = sample_indices_test(n, 8, 16, v, views)
+                assert got.tolist() == ref[v], (n, v, got.tolist(), ref[v])
+        # TSN eval
+        ref = ref_test(n, 8, 0, 1)[0]
+        assert sample_indices_tsn(n, 8, None).tolist() == ref, n
+
+    def ref_random(n, clip, rate, rng):
+        if rate <= 0:
+            seg = (n - 1) / clip
+            return [rng.randint(round(seg * i), round(seg * (i + 1)) + 1)
+                    for i in range(clip)]
+        if rate * (clip - 1) + 1 >= n:
+            out = []
+            for i in range(clip):
+                out.append(i * rate if i * rate < n else out[-1])
+            return out
+        start = rng.randint(n - rate * (clip - 1))
+        return list(range(start, start + rate * clip, rate))
+
+    for n in (10, 50, 113, 128, 150, 300):
+        a, b = np.random.RandomState(7), np.random.RandomState(7)
+        for _ in range(20):
+            got = sample_indices_random(n, 8, 16, a).tolist()
+            assert got == ref_random(n, 8, 16, b), (n, got)
+        a, b = np.random.RandomState(9), np.random.RandomState(9)
+        for _ in range(20):
+            got = sample_indices_tsn(n, 8, a).tolist()
+            assert got == ref_random(n, 8, 0, b), (n, got)
+    # train start is actually random when the video is long enough
+    starts = {sample_indices_random(128, 8, 16, np.random.RandomState(s))[0]
+              for s in range(50)}
+    assert len(starts) > 5, starts
