@@ -94,3 +94,22 @@ def test_seg_resize_matches_cv2():
             an = _resize(ann, scale, nearest=True)
             bn = cv2.resize(ann, (nw, nh), interpolation=cv2.INTER_NEAREST)
             np.testing.assert_array_equal(an, bn)
+
+
+def test_hsv_roundtrip_matches_cv2():
+    """PhotoMetricDistortion's HSV ops must match mmcv's (= cv2 uint8
+    semantics: H in [0,180)); the numpy conversions are +-1 of cv2."""
+    cv2 = pytest.importorskip("cv2")
+
+    from dynamic_tuning_tpu.data.segmentation import (_hsv_to_rgb_u8,
+                                                      _rgb_to_hsv_u8)
+
+    img = np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8)
+    h, s, v = _rgb_to_hsv_u8(img)
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    assert np.abs(h.astype(int) - ref[..., 0].astype(int)).max() <= 1
+    assert np.abs(s.astype(int) - ref[..., 1].astype(int)).max() <= 1
+    np.testing.assert_array_equal(v, ref[..., 2])
+    back = _hsv_to_rgb_u8(ref[..., 0], ref[..., 1], ref[..., 2])
+    ref_back = cv2.cvtColor(ref, cv2.COLOR_HSV2RGB)
+    assert np.abs(back.astype(int) - ref_back.astype(int)).max() <= 1
