@@ -43,31 +43,25 @@ def normalize(x: jax.Array, inception: bool = False) -> jax.Array:
 def _sample_crop_box(rng: jax.Array, h: int, w: int,
                      scale: Tuple[float, float] = (0.08, 1.0),
                      ratio: Tuple[float, float] = (3 / 4, 4 / 3)):
-    """Sample (top, left, crop_h, crop_w) floats, RRC-style.
+    """Sample (top, left, crop_h, crop_w), reference-exact.
 
-    Static-shape version of the torchvision 10-try loop: draw 10 candidates,
-    take the first valid one, else fall back to a full center crop.
-    """
+    The reference's RandomResizedCrop is the BYOL/TPU SINGLE-DRAW variant
+    (util/crop.py:16-45, the class image_datasets.py:17 actually imports —
+    'no for-loop is used'), NOT torchvision's 10-try loop: one
+    (area, aspect) draw, crop dims rounded then CLAMPED to the image,
+    integer-uniform position.  High-area draws on square images therefore
+    keep their (clamped) size instead of being rerolled smaller."""
     k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
-    n = 10
     area = h * w
-    target_area = area * jax.random.uniform(k_area, (n,), minval=scale[0],
-                                            maxval=scale[1])
-    log_ratio = jax.random.uniform(
-        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
-    aspect = jnp.exp(log_ratio)
-    cw = jnp.sqrt(target_area * aspect)
-    ch = jnp.sqrt(target_area / aspect)
-    valid = (cw <= w) & (ch <= h)
-    # first valid candidate (or fallback)
-    first = jnp.argmax(valid)
-    ok = valid.any()
-    cw = jnp.where(ok, cw[first], jnp.minimum(w, h) * 1.0)
-    ch = jnp.where(ok, ch[first], jnp.minimum(w, h) * 1.0)
-    # torchvision fallback is a CENTER crop (util/crop.py parity); only
-    # valid sampled candidates get a random position
-    top = jnp.where(ok, jax.random.uniform(k_top) * (h - ch), (h - ch) / 2)
-    left = jnp.where(ok, jax.random.uniform(k_left) * (w - cw), (w - cw) / 2)
+    target = area * jax.random.uniform(k_area, minval=scale[0],
+                                       maxval=scale[1])
+    aspect = jnp.exp(jax.random.uniform(k_ratio, minval=jnp.log(ratio[0]),
+                                        maxval=jnp.log(ratio[1])))
+    cw = jnp.minimum(jnp.round(jnp.sqrt(target * aspect)), w)
+    ch = jnp.minimum(jnp.round(jnp.sqrt(target / aspect)), h)
+    # torch.randint(0, h - ch + 1): integer-uniform inclusive position
+    top = jnp.floor(jax.random.uniform(k_top) * (h - ch + 1))
+    left = jnp.floor(jax.random.uniform(k_left) * (w - cw + 1))
     return top, left, ch, cw
 
 

@@ -76,6 +76,42 @@ def clip_hflip(rng: jax.Array, clip: jax.Array) -> jax.Array:
     return jnp.where(jax.random.bernoulli(rng), clip[:, :, ::-1, :], clip)
 
 
+def _sample_crop_box_10try(rng: jax.Array, h: int, w: int, scale, ratio):
+    """torchvision-style 10-candidate crop sampler — the VIDEO reference's
+    _get_param_spatial_crop (transform.py:504-540): integer-rounded dims,
+    first valid candidate wins, inclusive randint positions; fallback is
+    the ratio-clamped CENTER crop.  (The IMAGE pipeline uses the BYOL
+    single-draw variant instead — transforms._sample_crop_box.)"""
+    k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
+    n = 10
+    area = h * w
+    target = area * jax.random.uniform(k_area, (n,), minval=scale[0],
+                                       maxval=scale[1])
+    aspect = jnp.exp(jax.random.uniform(k_ratio, (n,),
+                                        minval=jnp.log(ratio[0]),
+                                        maxval=jnp.log(ratio[1])))
+    cw = jnp.round(jnp.sqrt(target * aspect))
+    ch = jnp.round(jnp.sqrt(target / aspect))
+    valid = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
+    first = jnp.argmax(valid)
+    ok = valid.any()
+    # static fallback (ratio-clamped center crop, transform.py:530-540)
+    in_ratio = w / h
+    if in_ratio < min(ratio):
+        fw, fh = w, int(round(w / min(ratio)))
+    elif in_ratio > max(ratio):
+        fh, fw = h, int(round(h * max(ratio)))
+    else:
+        fw, fh = w, h
+    cw = jnp.where(ok, cw[first], float(fw))
+    ch = jnp.where(ok, ch[first], float(fh))
+    top = jnp.where(ok, jnp.floor(jax.random.uniform(k_top) * (h - ch + 1)),
+                    float((h - fh) // 2))
+    left = jnp.where(ok, jnp.floor(jax.random.uniform(k_left) * (w - cw + 1)),
+                     float((w - fw) // 2))
+    return top, left, ch, cw
+
+
 def clip_random_resized_crop(rng: jax.Array, clip: jax.Array, *, crop: int,
                              scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
                              ) -> jax.Array:
@@ -83,10 +119,8 @@ def clip_random_resized_crop(rng: jax.Array, clip: jax.Array, *, crop: int,
     (reference transform.py:546-585 — the default train resize type of both
     K400 and SSv2, k400.py:42/sthv2_dataset.py:42).  [T,H,W,C] ->
     [T,crop,crop,C] float32."""
-    from dynamic_tuning_tpu.data.transforms import _sample_crop_box
-
     T, H, W, C = clip.shape
-    top, left, ch, cw = _sample_crop_box(rng, H, W, scale, ratio)
+    top, left, ch, cw = _sample_crop_box_10try(rng, H, W, scale, ratio)
     scale_y, scale_x = crop / ch, crop / cw
     return jax.image.scale_and_translate(
         clip.astype(jnp.float32), (T, crop, crop, C), (1, 2),
