@@ -145,6 +145,10 @@ class DataConfig:
     randaug: Optional[str] = None           # e.g. "rand-m7-n4-mstd0.5-inc1"
     # train spatial resize: the reference default (k400.py:42)
     train_resize_type: str = "random_resized_crop"  # | "random_short_side_scale_jitter"
+    # horizontal flip in video train aug: True for K400, False for SSv2 —
+    # direction-sensitive labels ("pushing left to right") must not mirror
+    # (reference video_datasets.py:25 mirror=True / :56 mirror=False)
+    mirror: bool = True
 
 
 @dataclass(frozen=True)

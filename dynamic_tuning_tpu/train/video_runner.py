@@ -139,6 +139,7 @@ class VideoRunner:
                                     crop=self.model_cfg.img_size,
                                     inception=self.cfg.data.inception_norm,
                                     train=True,
+                                    flip=self.cfg.data.mirror,
                                     randaug=self.cfg.data.randaug,
                                     resize_type=self.cfg.data.train_resize_type)
             xb, yb = M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))

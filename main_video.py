@@ -45,11 +45,13 @@ def build_config(args):
                         sampling_rate=args.sampling_rate,
                         test_num_segment=args.test_num_segment,
                         test_num_crop=args.test_num_crop,
-                        # SSv2 trains with RandAugment
-                        # (reference video_datasets.py:58)
+                        # SSv2 trains with RandAugment and NO mirror —
+                        # its labels are direction-sensitive
+                        # (reference video_datasets.py:56-58)
                         randaug=("rand-m7-n4-mstd0.5-inc1"
                                  if args.dataset in ("ssv2", "sthv2")
                                  else None),
+                        mirror=args.dataset not in ("ssv2", "sthv2"),
                         train_resize_type=args.train_resize_type))
 
 

@@ -306,3 +306,15 @@ def test_samplers_match_reference_formulas():
     starts = {sample_indices_random(128, 8, 16, np.random.RandomState(s))[0]
               for s in range(50)}
     assert len(starts) > 5, starts
+
+
+def test_ssv2_config_disables_mirror():
+    """SSv2 labels are direction-sensitive; the reference trains it with
+    mirror=False (video_datasets.py:56) while K400 mirrors (:25)."""
+    import main_video
+
+    p = main_video.get_args_parser()
+    a = p.parse_args(["--dataset", "ssv2", "--data_path", "/x"])
+    assert main_video.build_config(a).data.mirror is False
+    a = p.parse_args(["--dataset", "k400", "--data_path", "/x"])
+    assert main_video.build_config(a).data.mirror is True
