@@ -143,8 +143,12 @@ class DataConfig:
     test_num_segment: int = 3
     test_num_crop: int = 1
     randaug: Optional[str] = None           # e.g. "rand-m7-n4-mstd0.5-inc1"
-    # train spatial resize: the reference default (k400.py:42)
+    # train spatial resize — the reference RECIPES pick per dataset
+    # (video_datasets.py: K400 'random_short_side_scale_jitter' with
+    # scale_range [1.0, 1.15]; SSv2 'random_resized_crop' [0.08, 1.0])
     train_resize_type: str = "random_resized_crop"  # | "random_short_side_scale_jitter"
+    jitter_min: Optional[int] = None        # short-side jitter bounds for the
+    jitter_max: Optional[int] = None        # scale_jitter resize (None = 256/320)
     # horizontal flip in video train aug: True for K400, False for SSv2 —
     # direction-sensitive labels ("pushing left to right") must not mirror
     # (reference video_datasets.py:25 mirror=True / :56 mirror=False)

@@ -141,7 +141,9 @@ class VideoRunner:
                                     train=True,
                                     flip=self.cfg.data.mirror,
                                     randaug=self.cfg.data.randaug,
-                                    resize_type=self.cfg.data.train_resize_type)
+                                    resize_type=self.cfg.data.train_resize_type,
+                                    min_size=self.cfg.data.jitter_min or 256,
+                                    max_size=self.cfg.data.jitter_max or 320)
             xb, yb = M.shard_batch(self.mesh, (xb, jnp.asarray(labels)))
             self.state, parts = self.train_step(self.state, xb, yb)
             # flush the PREVIOUS step's scalars so one step stays in flight

@@ -23,15 +23,25 @@ def get_args_parser():
     parser.add_argument("--sampling_rate", type=int, default=16)
     parser.add_argument("--test_num_segment", type=int, default=3)
     parser.add_argument("--test_num_crop", type=int, default=1)
-    parser.add_argument("--train_resize_type", type=str,
-                        default="random_resized_crop",
+    parser.add_argument("--train_resize_type", type=str, default=None,
                         choices=["random_resized_crop",
-                                 "random_short_side_scale_jitter"])
+                                 "random_short_side_scale_jitter"],
+                        help="default resolves per dataset like the "
+                             "reference recipes: K400 jitter [1.0,1.15]x"
+                             "crop, SSv2 random_resized_crop")
     return parser
 
 
 def build_config(args):
     cfg = args_to_config(args)
+    is_ssv2 = args.dataset in ("ssv2", "sthv2")
+    # reference recipe defaults (video_datasets.py:20-65): K400 trains with
+    # short-side scale jitter over [1.0, 1.15] x crop; SSv2 with
+    # RandomResizedCrop.  Explicit --train_resize_type wins.
+    resize_type = args.train_resize_type or (
+        "random_resized_crop" if is_ssv2
+        else "random_short_side_scale_jitter")
+    crop = cfg.model.img_size
     return cfg.replace(
         # extend (not rebuild) the CLI-derived ModelConfig so knobs like
         # gelu_approx / residual_dtype / remat reach the video path too
@@ -49,10 +59,12 @@ def build_config(args):
                         # its labels are direction-sensitive
                         # (reference video_datasets.py:56-58)
                         randaug=("rand-m7-n4-mstd0.5-inc1"
-                                 if args.dataset in ("ssv2", "sthv2")
-                                 else None),
-                        mirror=args.dataset not in ("ssv2", "sthv2"),
-                        train_resize_type=args.train_resize_type))
+                                 if is_ssv2 else None),
+                        mirror=not is_ssv2,
+                        train_resize_type=resize_type,
+                        # K400 jitter bounds: round(crop * [1.0, 1.15])
+                        jitter_min=round(crop * 1.0),
+                        jitter_max=round(crop * 1.15)))
 
 
 def main(args):

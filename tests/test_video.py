@@ -315,6 +315,12 @@ def test_ssv2_config_disables_mirror():
 
     p = main_video.get_args_parser()
     a = p.parse_args(["--dataset", "ssv2", "--data_path", "/x"])
-    assert main_video.build_config(a).data.mirror is False
+    cfg = main_video.build_config(a)
+    assert cfg.data.mirror is False
+    assert cfg.data.train_resize_type == "random_resized_crop"
     a = p.parse_args(["--dataset", "k400", "--data_path", "/x"])
-    assert main_video.build_config(a).data.mirror is True
+    cfg = main_video.build_config(a)
+    assert cfg.data.mirror is True
+    # reference K400 recipe: short-side jitter over [1.0, 1.15] x crop
+    assert cfg.data.train_resize_type == "random_short_side_scale_jitter"
+    assert (cfg.data.jitter_min, cfg.data.jitter_max) == (224, 258)
