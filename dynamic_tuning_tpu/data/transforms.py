@@ -80,7 +80,13 @@ def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
     FIRST, so kernel taps at the box edge replicate crop-edge pixels; this
     fused form samples the full canvas, so edge taps read the true
     neighboring pixels instead (a <=2-px band, augmentation-time only —
-    dynamic box shapes can't be sliced under jit)."""
+    dynamic box shapes can't be sliced under jit).
+
+    Known train-aug coverage difference: the reference crops the ORIGINAL
+    image, while this two-step pipeline crops the square decode canvas —
+    boxes never reach beyond the central square of a non-square source.
+    Fixed-size canvases are what make the whole augmentation one static
+    vmapped program; --canvas raises detail but not spatial coverage."""
     scale_y = out_size / ch
     scale_x = out_size / cw
     # translation maps input coord `top` to output 0: out = in*scale + t
