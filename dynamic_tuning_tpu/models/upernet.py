@@ -291,7 +291,10 @@ def slide_inference(apply_fn, params, image: jax.Array, *, num_classes: int,
     if xs[-1] + crop < Wp:
         xs.append(Wp - crop)
     coords = [(y, x0) for y in ys for x0 in xs]
-    tb = max(int(tile_batch), 1)
+    # Clamp to the real tile count: padding a 1-window image (512^2 at
+    # crop 512) up to tile_batch=4 quadruples its compute for nothing —
+    # measured 0.39x on TPU (scripts/bench_seg_tile_batch.py).
+    tb = max(1, min(int(tile_batch), len(coords)))
     weights = [1.0] * len(coords)
     while len(coords) % tb:
         coords.append(coords[-1])

@@ -21,7 +21,16 @@ def _make_scan(fn, iters, *args):
     @jax.jit
     def many(*a):
         def body(c, _):
-            perturbed = (a[0] + (c * 1e-30).astype(a[0].dtype),) + a[1:]
+            # Loop-carried perturbation so XLA cannot hoist fn out of the
+            # scan as loop-invariant.  It must be NONZERO-representable in
+            # the operand dtype: the old `(c * 1e-30).astype(dtype)` is
+            # identically zero for int8 and underflows fp8/bf16-adjacent
+            # types, letting XLA run the matmul ONCE for any scan length
+            # (profile_fp8 measured 9024 TOPS int8 from exactly that).
+            # (c != 0) is 0/1 in every dtype; matmul timing on the MXU is
+            # data-independent, so the value change is free.
+            p = (c != jnp.float32(0)).astype(a[0].dtype)
+            perturbed = (a[0] + p,) + a[1:]
             return fn(*perturbed).astype(jnp.float32).sum(), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return out

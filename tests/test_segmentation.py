@@ -280,7 +280,10 @@ def test_slide_inference_tile_batch_identical():
     params = jnp.asarray(rs.randn(3, 8).astype(np.float32))
     ref = slide_inference(apply_fn, params, img, num_classes=5, crop=16,
                           stride=11, tile_batch=1)
-    for tb in (2, 3, 7):   # 7 forces weight-0 padding (12 tiles total)
+    # 7 forces weight-0 padding (12 tiles total); 50 > n_tiles exercises
+    # the clamp-to-tile-count path (a 1-window image must not pay tb x
+    # compute — measured 0.39x at 512^2/tb=4 before the clamp)
+    for tb in (2, 3, 7, 50):
         got = slide_inference(apply_fn, params, img, num_classes=5, crop=16,
                               stride=11, tile_batch=tb)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
