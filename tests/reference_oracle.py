@@ -1,0 +1,299 @@
+"""Load the reference's OWN torch model files as the parity oracle.
+
+Everything numerical on the torch side of the reference-executed parity
+tests runs through code imported unmodified from ``/root/reference``:
+``models/vision_transformer_IN21K.py`` (model), ``models/dynamic_adapter.py``
+(Adapter/TokenSelect/gumbel), ``models/losses.py`` (AdaLoss),
+``util/lr_sched.py`` (per-iteration schedule), and
+``video_models/video_vision_transformer_IN21K.py`` (video model).  The only
+transcribed piece is the ~15-line loss composition of
+``engine_finetune.py:45-77`` (teacher CE + batchmean log-target KL + AdamW
+step), reproduced in :class:`ReferenceTrainer` line-for-line in semantics —
+it cannot be imported because ``train_one_epoch`` hard-calls
+``torch.cuda.synchronize()`` on a CPU-only torch build.
+
+Import prerequisites handled here:
+  * ``timm`` is absent in the sandbox -> ``tests/timm_shim`` (faithful
+    minimal shim) is prepended to ``sys.path``.
+  * numpy>=2 removed ``numpy.lib.arraysetops`` (losses.py:1 imports a
+    stale symbol from it) -> a one-symbol module is registered in
+    ``sys.modules``.
+  * the reference uses repo-root-relative packages (``models.*``) ->
+    ``/root/reference`` is appended to ``sys.path`` (after our repo, so
+    nothing shadows dynamic_tuning_tpu).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import torch
+import torch.nn.functional as tF
+
+REFERENCE_ROOT = os.environ.get("DYT_REFERENCE_ROOT", "/root/reference")
+_SHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), "timm_shim")
+
+
+def reference_available() -> bool:
+    return os.path.isfile(os.path.join(
+        REFERENCE_ROOT, "models", "vision_transformer_IN21K.py"))
+
+
+def _install_import_environment():
+    if "numpy.lib.arraysetops" not in sys.modules:
+        m = types.ModuleType("numpy.lib.arraysetops")
+        m.isin = np.isin
+        sys.modules["numpy.lib.arraysetops"] = m
+    if _SHIM not in sys.path:
+        sys.path.insert(0, _SHIM)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+
+
+_CACHE = {}
+
+
+def load_reference_modules():
+    """Import (once) and return the reference modules we execute."""
+    if not _CACHE:
+        _install_import_environment()
+        import importlib
+
+        _CACHE["vit"] = importlib.import_module(
+            "models.vision_transformer_IN21K")
+        _CACHE["adapter"] = importlib.import_module("models.dynamic_adapter")
+        _CACHE["losses"] = importlib.import_module("models.losses")
+        _CACHE["lr_sched"] = importlib.import_module("util.lr_sched")
+        _CACHE["video_vit"] = importlib.import_module(
+            "video_models.video_vision_transformer_IN21K")
+        # imports must resolve to the reference tree, not a stray install
+        for key in ("vit", "adapter", "losses", "lr_sched", "video_vit"):
+            assert _CACHE[key].__file__.startswith(REFERENCE_ROOT), (
+                key, _CACHE[key].__file__)
+    return dict(_CACHE)
+
+
+def make_tuning_config(ffn_num: int, d_model: int):
+    """The exact tuning_config main_image.py:186-195 builds (EasyDict ->
+    attribute access; SimpleNamespace is interface-equivalent)."""
+    return SimpleNamespace(
+        ffn_adapt=True,
+        ffn_option="parallel",
+        ffn_adapter_layernorm_option="none",
+        ffn_adapter_init_option="lora",
+        ffn_adapter_scalar="0.1",
+        ffn_num=ffn_num,
+        d_model=d_model,
+        attn_bn=ffn_num,
+    )
+
+
+def make_select_config(token_target_ratio: float = 0.5):
+    """main_image.py:196-210."""
+    return SimpleNamespace(
+        open=True, keep_layers=0,
+        layer_target_ratio=0.5, layer_loss_ratio=2.0,
+        layer_diverse_ratio=0.0, layer_entropy_weight=0.0,
+        layer_minimal_weight=0.0, layer_minimal=0.0,
+        token_ratio=2.0, token_target_ratio=token_target_ratio,
+        token_minimal=0.0, token_minimal_weight=0.0,
+    )
+
+
+def build_reference_image_model(*, img=224, patch=16, dim=768, depth=12,
+                                heads=12, classes=1000, ffn=64):
+    """Construct the reference image model (the factory path for the real
+    ViT-B shape, direct VisionTransformer construction otherwise — same
+    class, main_image.py:212-215 / vision_transformer_IN21K.py:418-424)."""
+    ref = load_reference_modules()["vit"]
+    tc = make_tuning_config(ffn, dim)
+    sc = make_select_config()
+    if (img, patch, dim, depth, heads) == (224, 16, 768, 12, 12):
+        model = ref.vit_base_patch16_224_in21k(
+            num_classes=classes, drop_path_rate=0.0,
+            tuning_config=tc, select_config=sc)
+    else:
+        model = ref.VisionTransformer(
+            img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+            num_heads=heads, num_classes=classes, drop_path_rate=0.0,
+            tuning_config=tc, select_config=sc)
+    return model
+
+
+def build_reference_video_model(*, img=224, patch=16, dim=768, depth=12,
+                                heads=12, classes=400, ffn=64):
+    """Construct the reference video model
+    (video_vision_transformer_IN21K.py:279-415)."""
+    ref = load_reference_modules()["video_vit"]
+    model = ref.VisionTransformer(
+        img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+        num_heads=heads, num_classes=classes, drop_path_rate=0.0,
+        tuning_config=make_tuning_config(ffn, dim),
+        select_config=make_select_config())
+    return model
+
+
+def zero_adapter_dropout(model):
+    """The reference Block hardcodes Adapter dropout=0.1
+    (vision_transformer_IN21K.py:133); the cross-framework train-parity
+    contract is noise-free, so pin the runtime rate attribute (a plain
+    float consumed by nn.functional.dropout, dynamic_adapter.py:127) to 0.
+    No reference code is altered — this is run-time configuration."""
+    for m in model.modules():
+        if hasattr(m, "adapter_layernorm_option") and hasattr(m, "dropout"):
+            m.dropout = 0.0
+    return model
+
+
+def zero_gumbel_noise(monkeypatch):
+    """Pin the reference's gumbel gate noise to zero for deterministic
+    train parity: _gumbel_sigmoid (dynamic_adapter.py:25-55) draws
+    g1-g2 = -log(E1)+log(E2) with E~Exp(1); filling the exponential draws
+    with 1.0 makes both logs 0 so the logistic noise vanishes while the
+    straight-through structure is untouched.  The JAX side pins
+    jax.random.logistic to zeros — the same contract."""
+    monkeypatch.setattr(
+        torch.Tensor, "exponential_",
+        lambda self, lambd=1.0, *, generator=None: self.fill_(1.0))
+
+
+def flax_to_image_sd(flat: dict, *, depth: int) -> dict:
+    """Map a flat flax param tree ({path-tuple: ndarray}) to the reference
+    image model's state-dict layout (torch [out,in] kernels, OIHW conv) so
+    both frameworks start from bit-identical weights."""
+    t = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+         for k, v in flat.items()}
+
+    sd = {
+        "cls_token": t[("cls_token",)],
+        "pos_embed": t[("pos_embed",)],
+        "patch_embed.proj.weight":
+            t[("patch_embed", "proj", "kernel")].permute(3, 2, 0, 1),
+        "patch_embed.proj.bias": t[("patch_embed", "proj", "bias")],
+        "norm.weight": t[("norm", "scale")],
+        "norm.bias": t[("norm", "bias")],
+        "head.weight": t[("head", "kernel")].T,
+        "head.bias": t[("head", "bias")],
+    }
+    for i in range(depth):
+        f = (f"blocks_{i}",)
+        p = f"blocks.{i}."
+
+        def lin(name, *path):
+            sd[p + name + ".weight"] = t[f + path + ("kernel",)].T
+            sd[p + name + ".bias"] = t[f + path + ("bias",)]
+
+        def lnorm(name, *path):
+            sd[p + name + ".weight"] = t[f + path + ("scale",)]
+            sd[p + name + ".bias"] = t[f + path + ("bias",)]
+
+        lnorm("norm1", "norm1")
+        lnorm("norm2", "norm2")
+        lin("attn.qkv", "attn", "qkv")
+        lin("attn.proj", "attn", "proj")
+        lin("mlp.fc1", "mlp", "fc1")
+        lin("mlp.fc2", "mlp", "fc2")
+        lin("adaptmlp.down_proj", "adaptmlp", "down_proj")
+        lin("adaptmlp.up_proj", "adaptmlp", "up_proj")
+        lin("mlp_token_select.mlp_head", "mlp_token_select", "mlp_head")
+    return {k: v.contiguous() for k, v in sd.items()}
+
+
+def flax_to_video_sd(flat: dict, *, depth: int) -> dict:
+    """Image mapping + the video model's attentive-pool extras
+    (video_vision_transformer_IN21K.py:27-110,408-413)."""
+    sd = flax_to_image_sd(flat, depth=depth)
+    t = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+         for k, v in flat.items()}
+    ab = ("attentive_blocks",)
+    ca = ab + ("cross_attn",)
+    sd["query_token"] = t[("query_token",)]
+    for name in ("norm_q", "norm_k", "norm_v"):
+        sd[f"attentive_blocks.{name}.weight"] = t[ab + (name, "scale")]
+        sd[f"attentive_blocks.{name}.bias"] = t[ab + (name, "bias")]
+    for name in ("q", "k", "v"):
+        sd[f"attentive_blocks.cross_attn.{name}.weight"] = \
+            t[ca + (name, "kernel")].T
+    sd["attentive_blocks.cross_attn.q_bias"] = t[ca + ("q_bias",)]
+    sd["attentive_blocks.cross_attn.v_bias"] = t[ca + ("v_bias",)]
+    sd["attentive_blocks.cross_attn.proj.weight"] = \
+        t[ca + ("proj", "kernel")].T
+    sd["attentive_blocks.cross_attn.proj.bias"] = t[ca + ("proj", "bias")]
+    return {k: v.contiguous() for k, v in sd.items()}
+
+
+class ReferenceTrainer:
+    """Drive the REFERENCE model + REFERENCE AdaLoss + REFERENCE lr
+    schedule through the training step of engine_finetune.py:45-77.
+
+    Executed reference code per step: two model forwards (student +
+    complete_model teacher) through models/vision_transformer_IN21K.py,
+    gates through models/dynamic_adapter.py, AdaLoss through
+    models/losses.py, LR through util/lr_sched.adjust_learning_rate.
+    This class only composes them exactly as the engine does:
+
+        cls_kl_loss = F.kl_div(log_softmax(out), log_softmax(teacher.detach()),
+                               reduction='batchmean', log_target=True)
+        teacher_loss = criterion.base_criterion(teacher_outputs, targets)
+        loss, loss_dict = criterion(dict(prediction=out, **token_select), y)
+        loss = loss + teacher_loss + cls_kl_loss
+
+    plus the freeze rule of main_image.py:249-256 (missing-from-checkpoint
+    params + head train; rest frozen) and its AdamW construction (:285).
+    """
+
+    def __init__(self, model, *, lr_args, token_target_ratio=0.5,
+                 token_ratio=2.0, weight_decay=0.01):
+        mods = load_reference_modules()
+        self.model = model
+        self.lr_sched = mods["lr_sched"]
+        self.lr_args = lr_args
+        self.criterion = mods["losses"].AdaLoss(
+            base_criterion=torch.nn.CrossEntropyLoss(),
+            token_target_ratio=token_target_ratio,
+            token_loss_ratio=token_ratio,
+            token_minimal=0.0, token_minimal_weight=0.0)
+        # freeze rule: adapters + routers (missing keys at load) + head
+        for name, p in model.named_parameters():
+            p.requires_grad = ("adaptmlp" in name
+                               or "mlp_token_select" in name
+                               or name.startswith("head."))
+        self.opt = torch.optim.AdamW(
+            [p for _, p in model.named_parameters() if p.requires_grad],
+            lr=lr_args.lr, weight_decay=weight_decay)
+
+    def step(self, x: np.ndarray, y: np.ndarray, epoch_frac: float) -> dict:
+        """x is NHWC fp32 (converted to the reference's NCHW here)."""
+        self.model.train(True)
+        self.lr_sched.adjust_learning_rate(self.opt, epoch_frac,
+                                           self.lr_args)
+        samples = torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+        targets = torch.from_numpy(y)
+
+        outputs, token_select = self.model(samples)
+        teacher_outputs, _ = self.model(samples, complete_model=True)
+        cls_kl_loss = tF.kl_div(
+            tF.log_softmax(outputs, dim=-1),
+            tF.log_softmax(teacher_outputs.detach(), dim=-1),
+            reduction="batchmean", log_target=True)
+        teacher_loss = self.criterion.base_criterion(teacher_outputs,
+                                                     targets)
+        loss, loss_dict = self.criterion(
+            dict(prediction=outputs, **token_select), targets)
+        loss = loss + teacher_loss + cls_kl_loss
+
+        self.opt.zero_grad()
+        loss.backward()
+        self.opt.step()
+        return dict(
+            loss=loss.item(),
+            base_loss=loss_dict["base_loss"].item(),
+            token_loss=loss_dict["token_loss"].item(),
+            teacher_loss=teacher_loss.item(),
+            distillation_loss=cls_kl_loss.item(),
+            keep_ratio=token_select["token_select"].detach().mean().item(),
+        )

@@ -1,0 +1,335 @@
+"""Parity against the reference's OWN executed code (oracle independence).
+
+Every prior fidelity claim routed through ``tests/torch_oracle.py`` — a
+hand-written transcription that shares an author with the code under test.
+These tests close that loop: the torch side here executes the files under
+``/root/reference`` **unmodified** (imported via the minimal test-only timm
+shim, ``tests/timm_shim``), so a misreading of the reference in either the
+transcription or the JAX implementation fails loudly.
+
+Covered, reference-code-executed:
+  * ``_gumbel_sigmoid`` (models/dynamic_adapter.py:25-54) vs ops/gumbel.py
+  * ``AdaLoss`` (models/losses.py:15-84) vs train/losses.py
+  * image ViT-B/16 @ 224^2 full shape, student + teacher logits + all
+    4704 hard gates (models/vision_transformer_IN21K.py) vs our flax model
+    AND vs the transcription oracle (certifying tests/torch_oracle.py)
+  * video ViT-B @ 8x224^2 with attentive pooling
+    (video_models/video_vision_transformer_IN21K.py) vs our flax model
+  * 12 AdamW steps of the FULL train step — reference model + reference
+    AdaLoss + reference lr_sched, composed exactly as
+    engine_finetune.py:45-77 — vs our jitted train engine, term-by-term.
+
+The seg backbone (dense_tasks mmseg fork) cannot be imported the same way:
+it requires mmcv/mmseg at import time, which this sandbox doesn't have; its
+full-shape parity stays pinned by tests/test_full_scale_seg_video.py with
+the bias table cross-derived via the reference's own gather formula.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+from dynamic_tuning_tpu.train.checkpoint import import_pretrained
+
+from reference_oracle import (
+    ReferenceTrainer,
+    build_reference_image_model,
+    build_reference_video_model,
+    flax_to_video_sd,
+    load_reference_modules,
+    reference_available,
+    zero_adapter_dropout,
+    zero_gumbel_noise,
+)
+from torch_oracle import image_oracle, make_vit_state_dict
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="/root/reference not present")
+
+
+# ---------------------------------------------------------------------------
+# unit parity: gumbel gate + AdaLoss, reference code executed
+# ---------------------------------------------------------------------------
+
+def test_gumbel_sigmoid_matches_reference_code(monkeypatch):
+    from dynamic_tuning_tpu.ops.gumbel import gumbel_sigmoid
+
+    adapter = load_reference_modules()["adapter"]
+    rs = np.random.RandomState(0)
+    logits = rs.randn(4, 7, 1).astype(np.float32) * 3
+
+    # eval path: sigmoid > threshold hard gate, no tau
+    ref = adapter._gumbel_sigmoid(torch.from_numpy(logits), tau=5,
+                                  hard=True, training=False)
+    ours = gumbel_sigmoid(jnp.asarray(logits), None, tau=5.0, hard=True,
+                          training=False)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+
+    # train path under the zero-noise contract: sigmoid(logits/tau) soft
+    # value with straight-through hard forward
+    zero_gumbel_noise(monkeypatch)
+    ref = adapter._gumbel_sigmoid(torch.from_numpy(logits), tau=5,
+                                  hard=True, training=True)
+    monkeypatch.setattr(jax.random, "logistic",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    ours = gumbel_sigmoid(jnp.asarray(logits), jax.random.PRNGKey(0),
+                          tau=5.0, hard=True, training=True)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+
+    # and the straight-through *gradient* (d gate / d logits = soft grad)
+    t = torch.from_numpy(logits).requires_grad_(True)
+    adapter._gumbel_sigmoid(t, tau=5, hard=True, training=True).sum() \
+        .backward()
+    g = jax.grad(lambda l: gumbel_sigmoid(
+        l, jax.random.PRNGKey(0), tau=5.0, hard=True, training=True).sum())(
+        jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(g), t.grad.numpy(), atol=1e-6)
+
+
+def test_adaloss_matches_reference_code():
+    from dynamic_tuning_tpu.train.losses import ada_loss
+
+    losses = load_reference_modules()["losses"]
+    rs = np.random.RandomState(1)
+    B, L, T, C = 6, 4, 13, 11
+    pred = rs.randn(B, C).astype(np.float32)
+    y = rs.randint(0, C, (B,)).astype(np.int64)
+    gates = (rs.rand(B, L, T, 1) > 0.5).astype(np.float32)
+
+    for target, ratio in [(0.5, 2.0), (0.9, 2.0), (0.3, 1.0)]:
+        crit = losses.AdaLoss(base_criterion=torch.nn.CrossEntropyLoss(),
+                              token_target_ratio=target,
+                              token_loss_ratio=ratio,
+                              token_minimal=0.0, token_minimal_weight=0.0)
+        want, want_parts = crit(
+            dict(prediction=torch.from_numpy(pred),
+                 token_select=torch.from_numpy(gates),
+                 token_logits=None),
+            torch.from_numpy(y))
+        cfg = SelectConfig(token_target_ratio=target, token_loss_ratio=ratio)
+        got, parts = ada_loss(jnp.asarray(pred), jnp.asarray(y),
+                              jnp.asarray(gates), cfg)
+        assert float(got) == pytest.approx(want.item(), rel=1e-5)
+        assert float(parts["base_loss"]) == pytest.approx(
+            want_parts["base_loss"].item(), rel=1e-5)
+        assert float(parts["token_loss"]) == pytest.approx(
+            want_parts["token_loss"].item(), rel=1e-5, abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# full-shape eval parity, reference model code executed
+# ---------------------------------------------------------------------------
+
+DEPTH, DIM, HEADS, FFN = 12, 768, 12, 64
+CLASSES, IMG, PATCH, B = 1000, 224, 16, 2
+SEED = 5  # same seed as test_full_scale_parity (healthy router margin)
+
+
+@pytest.mark.fullscale
+def test_image_full_shape_vs_reference_code():
+    rs = np.random.RandomState(SEED)
+    sd = make_vit_state_dict(rs, depth=DEPTH, dim=DIM, ffn=FFN,
+                             classes=CLASSES, img=IMG, patch=PATCH)
+    x = np.clip(rs.randn(B, IMG, IMG, 3), -2.6, 2.6).astype(np.float32)
+
+    # --- the reference's own model code -------------------------------
+    ref = build_reference_image_model(img=IMG, patch=PATCH, dim=DIM,
+                                      depth=DEPTH, heads=HEADS,
+                                      classes=CLASSES, ffn=FFN)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing and not unexpected
+    ref.eval()
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+    with torch.no_grad():
+        want, aux = ref(xt)
+        want_t, _ = ref(xt, complete_model=True)
+    want, want_t = want.numpy(), want_t.numpy()
+    want_gates = aux["token_select"].numpy()[..., 0]
+
+    # --- certify the transcription oracle against reference code ------
+    got, got_gates, _ = image_oracle(sd, x, depth=DEPTH, heads=HEADS,
+                                     patch=PATCH)
+    got_t, _, _ = image_oracle(sd, x, depth=DEPTH, heads=HEADS, patch=PATCH,
+                               complete_model=True)
+    np.testing.assert_array_equal(got_gates, want_gates)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got_t, want_t, atol=2e-5)
+
+    # --- our flax model vs reference code ------------------------------
+    model = VisionTransformer(ModelConfig(num_classes=CLASSES),
+                              tuning=TuningConfig(ffn_num=FFN),
+                              select=SelectConfig(), dtype=jnp.float32)
+    p = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+    p, miss = import_pretrained(p, sd)
+    assert miss == []
+    ours, jaux = model.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), want, atol=1e-3)
+    assert np.abs(np.asarray(ours) - want).max() < 1e-4
+    np.testing.assert_array_equal(
+        np.asarray(jaux["token_select"])[..., 0], want_gates)
+    ours_t, _ = model.apply({"params": p}, jnp.asarray(x),
+                            complete_model=True)
+    np.testing.assert_allclose(np.asarray(ours_t), want_t, atol=1e-3)
+
+
+@pytest.mark.fullscale
+def test_video_full_shape_vs_reference_code():
+    from flax import traverse_util
+
+    from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+    T, VSEED, VCLASSES = 8, 22, 400
+    cfg = ModelConfig(img_size=IMG, patch_size=PATCH, embed_dim=DIM,
+                      depth=DEPTH, num_heads=HEADS, num_classes=VCLASSES,
+                      num_frames=T)
+    model = VideoVisionTransformer(cfg, tuning=TuningConfig(ffn_num=FFN),
+                                   select=SelectConfig(), dtype=jnp.float32)
+    rs = np.random.RandomState(VSEED)
+    x = np.clip(rs.randn(1, T, IMG, IMG, 3), -2.6, 2.6).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(VSEED),
+                        jnp.asarray(x[:, :1]))["params"]
+    for i in range(DEPTH):
+        blk = params[f"blocks_{i}"]
+        blk["mlp_token_select"]["mlp_head"]["kernel"] = (
+            blk["mlp_token_select"]["mlp_head"]["kernel"] * 30.0)
+        blk["adaptmlp"]["up_proj"]["kernel"] = jnp.asarray(
+            rs.randn(FFN, DIM).astype(np.float32) * 0.02)
+    params["query_token"] = jnp.asarray(
+        rs.randn(1, 1, DIM).astype(np.float32) * 0.02)
+    ca = params["attentive_blocks"]["cross_attn"]
+    ca["q_bias"] = jnp.asarray(rs.randn(DIM).astype(np.float32) * 0.02)
+    ca["v_bias"] = jnp.asarray(rs.randn(DIM).astype(np.float32) * 0.02)
+
+    flat = {k: np.asarray(v)
+            for k, v in traverse_util.flatten_dict(params).items()}
+    ref = build_reference_video_model(img=IMG, patch=PATCH, dim=DIM,
+                                      depth=DEPTH, heads=HEADS,
+                                      classes=VCLASSES, ffn=FFN)
+    missing, unexpected = ref.load_state_dict(
+        flax_to_video_sd(flat, depth=DEPTH), strict=True)
+    assert not missing and not unexpected
+    ref.eval()
+    # reference video layout: [B, C, T, H, W]
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3).contiguous()
+    with torch.no_grad():
+        want, aux = ref(xt)
+    want = want.numpy()
+    want_gates = aux["token_select"].numpy()[..., 0]
+
+    ours, jaux = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), want, atol=1e-3)
+    assert np.abs(np.asarray(ours) - want).max() < 1e-4
+    np.testing.assert_array_equal(
+        np.asarray(jaux["token_select"])[..., 0], want_gates)
+    assert 0.2 < want_gates.mean() < 0.8
+
+
+# ---------------------------------------------------------------------------
+# train-curve parity, reference model + AdaLoss + lr_sched executed
+# ---------------------------------------------------------------------------
+
+def test_train_curve_vs_reference_code(monkeypatch):
+    from types import SimpleNamespace
+
+    from dynamic_tuning_tpu.train.engine import (create_train_state,
+                                                 make_train_step,
+                                                 model_apply_fn)
+    from dynamic_tuning_tpu.train.optim import (make_optimizer,
+                                                partition_params)
+
+    TDIM, THEADS, TDEPTH, TFFN, TCLASSES = 64, 4, 2, 8, 10
+    TIMG, TPATCH, TB = 32, 8, 8
+    STEPS, SPE = 12, 4
+    BASE_LR, WD = 5e-3, 0.01
+    SEL = SelectConfig()
+
+    rs = np.random.RandomState(9)
+    sd = make_vit_state_dict(rs, depth=TDEPTH, dim=TDIM, ffn=TFFN,
+                             classes=TCLASSES, img=TIMG, patch=TPATCH,
+                             router_scale=60.0)
+    data = [(rs.randn(TB, TIMG, TIMG, 3).astype(np.float32),
+             rs.randint(0, TCLASSES, (TB,)).astype(np.int64))
+            for _ in range(STEPS)]
+
+    # --- JAX side: the real jitted engine, gate noise pinned to zero ----
+    mc = ModelConfig(img_size=TIMG, patch_size=TPATCH, embed_dim=TDIM,
+                     depth=TDEPTH, num_heads=THEADS, num_classes=TCLASSES)
+    model = VisionTransformer(
+        mc, tuning=TuningConfig(ffn_num=TFFN, d_model=TDIM, dropout=0.0),
+        select=SEL, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.asarray(data[0][0][:1]))["params"]
+    params, miss = import_pretrained(params, sd)
+    assert miss == []
+
+    monkeypatch.setattr(jax.random, "logistic",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    trainable, frozen = partition_params(params)
+    tx = make_optimizer(BASE_LR, epochs=STEPS / SPE, warmup_epochs=1.0,
+                        steps_per_epoch=SPE, weight_decay=WD)
+    state = create_train_state(trainable, frozen, tx, jax.random.PRNGKey(7))
+    step = make_train_step(model_apply_fn(model), tx, SEL)
+    jax_parts = []
+    for x, y in data:
+        state, parts = step(state, jnp.asarray(x), jnp.asarray(y))
+        jax_parts.append({k: float(v) for k, v in parts.items()})
+
+    # --- torch side: REFERENCE code ------------------------------------
+    zero_gumbel_noise(monkeypatch)
+    ref = build_reference_image_model(img=TIMG, patch=TPATCH, dim=TDIM,
+                                      depth=TDEPTH, heads=THEADS,
+                                      classes=TCLASSES, ffn=TFFN)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing and not unexpected
+    zero_adapter_dropout(ref)
+    lr_args = SimpleNamespace(lr=BASE_LR, min_lr=0.0, warmup_epochs=1.0,
+                              epochs=STEPS / SPE)
+    trainer = ReferenceTrainer(ref, lr_args=lr_args,
+                               token_target_ratio=SEL.token_target_ratio,
+                               token_ratio=SEL.token_loss_ratio,
+                               weight_decay=WD)
+    ref_parts = [trainer.step(x, y, i / SPE)
+                 for i, (x, y) in enumerate(data)]
+
+    # --- per-step trajectory agreement ----------------------------------
+    for i, (jp, tp) in enumerate(zip(jax_parts, ref_parts)):
+        assert jp["keep_ratio"] == pytest.approx(tp["keep_ratio"],
+                                                 abs=1e-6), \
+            f"step {i}: gate sets diverged"
+        for key in ("loss", "base_loss", "token_loss", "teacher_loss",
+                    "distillation_loss"):
+            assert jp[key] == pytest.approx(tp[key], rel=2e-4, abs=2e-5), \
+                f"step {i} {key}: jax {jp[key]} reference {tp[key]}"
+    assert abs(jax_parts[-1]["loss"] - jax_parts[0]["loss"]) > 1e-3
+
+    # --- final trainable params agree ------------------------------------
+    # (trainable tree is flat {path-tuple: leaf}; map each path to the
+    # reference state-dict name and compare in torch layout)
+    ref_sd = ref.state_dict()
+    for path, v in state.trainable.items():
+        name = None
+        if path[0].startswith("blocks_"):
+            idx = path[0].split("_")[1]
+            tail = ".".join(path[1:-1])
+            kind = path[-1]
+            name = f"blocks.{idx}.{tail}.{'weight' if kind == 'kernel' else 'bias'}"
+        elif path[0] == "head":
+            name = f"head.{'weight' if path[-1] == 'kernel' else 'bias'}"
+        assert name is not None, path
+        want_p = ref_sd[name].numpy()
+        got_p = np.asarray(v)
+        if path[-1] == "kernel":
+            got_p = got_p.T
+        np.testing.assert_allclose(got_p, want_p, rtol=1e-3, atol=2e-5,
+                                   err_msg=name)
