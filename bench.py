@@ -111,7 +111,7 @@ def main():
         @jax.jit
         def many(p, xx):
             def body(c, _):
-                return fn(p, xx + c * 1e-12).astype(jnp.float32), None
+                return fn(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
             return out
 
@@ -145,7 +145,7 @@ def main():
         @jax.jit
         def many_q8(p, xx):
             def body(c, _):
-                return fn_q8(p, xx + c * 1e-12).astype(jnp.float32), None
+                return fn_q8(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
             return out
         _ = float(many_q8(dyt_params, x))
@@ -177,7 +177,7 @@ def main():
             @jax.jit
             def f(aa):
                 def body(c, _):
-                    return ((aa + c * 1e-12) @ aa).astype(
+                    return ((aa + (c != 0).astype(aa.dtype)) @ aa).astype(
                         jnp.float32).sum(), None
                 out, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=iters)

@@ -67,7 +67,7 @@ def ambient_tflops():
         @jax.jit
         def f(aa):
             def body(c, _):
-                return ((aa + c * 1e-12) @ aa).astype(jnp.float32).sum(), None
+                return ((aa + (c != 0).astype(aa.dtype)) @ aa).astype(jnp.float32).sum(), None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return out
 

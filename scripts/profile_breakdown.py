@@ -23,7 +23,7 @@ def bench(name, forward, params, x):
     @jax.jit
     def many(p, xx):
         def body(c, _):
-            return forward(p, xx + c * 1e-12).astype(jnp.float32), None
+            return forward(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
         return out
 

@@ -49,7 +49,7 @@ def main():
 
     # 1. pure MLP matmul ceiling (dense, all tokens)
     def mlp_dense(x, w1, w2, c):
-        h = jnp.dot(x + c * 1e-12, w1, preferred_element_type=jnp.bfloat16)
+        h = jnp.dot(x + (c != 0).astype(x.dtype), w1, preferred_element_type=jnp.bfloat16)
         h = jax.nn.gelu(h)
         return jnp.dot(h, w2, preferred_element_type=jnp.bfloat16).sum()
 
@@ -63,14 +63,14 @@ def main():
 
     # 3. top_k cost alone
     def topk_only(scores, c):
-        v, i = jax.lax.top_k(scores + c * 1e-12, 112)
+        v, i = jax.lax.top_k(scores + (c != 0).astype(scores.dtype), 112)
         return v.sum() + i.sum()
 
     timed("topk_112_of_197", topk_only, scores)
 
     # 4. gather + MLP(112) + scatter (current dispatch core)
     def dispatch_core(x, w1, w2, scores, c):
-        v, idx = jax.lax.top_k(scores + c * 1e-12, 112)
+        v, idx = jax.lax.top_k(scores + (c != 0).astype(scores.dtype), 112)
         xg = jnp.take_along_axis(x, idx[..., None], axis=1)
         h = jnp.dot(xg, w1, preferred_element_type=jnp.bfloat16)
         h = jax.nn.gelu(h)
@@ -85,7 +85,7 @@ def main():
 
     # 5. gather+MLP only (no scatter) — isolates scatter cost
     def dispatch_noscatter(x, w1, w2, scores, c):
-        v, idx = jax.lax.top_k(scores + c * 1e-12, 112)
+        v, idx = jax.lax.top_k(scores + (c != 0).astype(scores.dtype), 112)
         xg = jnp.take_along_axis(x, idx[..., None], axis=1)
         h = jnp.dot(xg, w1, preferred_element_type=jnp.bfloat16)
         h = jax.nn.gelu(h)
@@ -95,7 +95,7 @@ def main():
 
     # 6. masked dense MLP (the mask-multiply train form) — no savings baseline
     def mlp_masked(x, w1, w2, scores, c):
-        h = jnp.dot(x + c * 1e-12, w1, preferred_element_type=jnp.bfloat16)
+        h = jnp.dot(x + (c != 0).astype(x.dtype), w1, preferred_element_type=jnp.bfloat16)
         h = jax.nn.gelu(h)
         y = jnp.dot(h, w2, preferred_element_type=jnp.bfloat16)
         return (y * (scores > 0.5)[..., None]).sum()
@@ -104,7 +104,7 @@ def main():
 
     # 7. one-hot matmul dispatch (MXU-friendly gather/scatter)
     def dispatch_onehot(x, w1, w2, scores, c):
-        v, idx = jax.lax.top_k(scores + c * 1e-12, 112)
+        v, idx = jax.lax.top_k(scores + (c != 0).astype(scores.dtype), 112)
         oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)      # [B,112,N]
         xg = jnp.einsum("bkn,bnc->bkc", oh, x)
         h = jnp.dot(xg, w1, preferred_element_type=jnp.bfloat16)
@@ -117,7 +117,7 @@ def main():
 
     # 8. attention cost at 197 (for the full-block picture)
     def attn(x, c):
-        q = (x + c * 1e-12).reshape(B, N, 12, 64)
+        q = (x + (c != 0).astype(x.dtype)).reshape(B, N, 12, 64)
         a = jnp.einsum("bnhd,bmhd->bhnm", q * 0.125, q,
                        preferred_element_type=jnp.float32)
         a = jax.nn.softmax(a, axis=-1)

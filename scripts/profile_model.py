@@ -24,7 +24,7 @@ def bench(name, model, params, x, **apply_kw):
     @jax.jit
     def many(p, xx):
         def body(c, _):
-            return once(p, xx + c * 1e-12).astype(jnp.float32), None
+            return once(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
         return out
 

@@ -31,7 +31,7 @@ def bench(depth, out_idx, rel_pos=True):
     @jax.jit
     def many(pp, xx):
         def body(c, _):
-            feats, _sel = m.apply({"params": pp}, xx + c * 1e-12,
+            feats, _sel = m.apply({"params": pp}, xx + (c != 0).astype(xx.dtype),
                                   dispatch=True)
             return sum(f.astype(jnp.float32).sum() for f in feats), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)

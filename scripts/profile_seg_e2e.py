@@ -29,7 +29,7 @@ def bench(quant, head_channels=None):
     @jax.jit
     def many(pp, xx):
         def body(c, _):
-            out = m.apply({"params": pp}, xx + c * 1e-12, dispatch=True)
+            out = m.apply({"params": pp}, xx + (c != 0).astype(xx.dtype), dispatch=True)
             seg = out[0] if isinstance(out, tuple) else out
             return seg.astype(jnp.float32).sum(), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)

@@ -35,7 +35,7 @@ def bench(quant):
     @jax.jit
     def many(p, xx):
         def body(c, _):
-            feats, _sel = model.apply({"params": p}, xx + c * 1e-12,
+            feats, _sel = model.apply({"params": p}, xx + (c != 0).astype(xx.dtype),
                                       dispatch=True)
             return sum(f.astype(jnp.float32).sum() for f in feats), None
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)

@@ -60,17 +60,17 @@ def main():
 
     # selection alternatives
     def topk_exact(scores, c):
-        v, i = jax.lax.top_k(scores + c * 1e-12, K)
+        v, i = jax.lax.top_k(scores + (c != 0).astype(scores.dtype), K)
         return v.sum() + i.sum()
     timed("topk_exact", topk_exact, scores)
 
     def topk_approx(scores, c):
-        v, i = jax.lax.approx_max_k(scores + c * 1e-12, K)
+        v, i = jax.lax.approx_max_k(scores + (c != 0).astype(scores.dtype), K)
         return v.sum() + i.sum()
     timed("approx_max_k", topk_approx, scores)
 
     def compaction(scores, c):
-        mask = (scores + c * 1e-12) > 0.5
+        mask = (scores + (c != 0).astype(scores.dtype)) > 0.5
         pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         slot = jnp.where(mask & (pos < K), pos, K)      # K = dropped
         idx = jnp.full((B, K + 1), 0, jnp.int32)
@@ -84,7 +84,7 @@ def main():
     x = jax.random.normal(key, (B, N, C), jnp.bfloat16)
 
     def full_dispatch_approx(x, w1, scores, c):
-        v, idx = jax.lax.approx_max_k(scores + c * 1e-12, K)
+        v, idx = jax.lax.approx_max_k(scores + (c != 0).astype(scores.dtype), K)
         xg = jnp.take_along_axis(x, idx[..., None], axis=1)
         h = jnp.dot(xg, w1, preferred_element_type=jnp.bfloat16)
         return h.sum()

@@ -42,16 +42,22 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
+    if args.smoke:
+        # must run before anything can initialize the backend — the sandbox
+        # preloads an axon TPU backend and platform selection only works
+        # pre-initialization (CLAUDE.md)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            print(f"WARNING: could not force CPU platform ({e}); "
+                  f"smoke run may hit the TPU tunnel", file=sys.stderr)
+
     from dynamic_tuning_tpu.config import (DataConfig, ModelConfig,
                                            OptimConfig, RunConfig,
                                            SelectConfig, TuningConfig)
     from dynamic_tuning_tpu.train.runner import Runner
 
     if args.smoke:
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
         model = ModelConfig(img_size=32, patch_size=8, num_classes=10,
                             embed_dim=64, depth=2, num_heads=4)
         tuning = TuningConfig(ffn_num=8, d_model=64)
@@ -91,10 +97,13 @@ def main():
     put_ms = min(puts) * 1e3
     mb_s = nbytes / 1e6 / (put_ms / 1e3)
 
-    # 3. serialized put + step
+    # 3. serialized put + step (block on the upload before stepping —
+    # dispatch is async, so without the barrier batch i+1's transfer
+    # overlaps step i and ser_ms understates the serialized cost)
     t0 = time.perf_counter()
     for i in range(args.steps):
         xb, yb = r._device_batch(*host_batches[i % 4][:2], train=True)
+        jax.block_until_ready((xb, yb))
         r.state, _ = r.train_step(r.state, xb, yb)
     jax.block_until_ready(r.state.step)
     ser_ms = (time.perf_counter() - t0) / args.steps * 1e3
