@@ -264,6 +264,102 @@ def main():
     except Exception:
         pass  # train bench is an extra: never fail the headline
 
+    # --- video family (VERDICT r3 #7: three-family headline) -------------
+    # protocol = scripts/bench_video.py: 16 clips x 8 frames, bf16 serving
+    vid = {}
+    try:
+        from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+
+        VB, VT, VITERS = 16, 8, 10
+        vcfg = ModelConfig(num_classes=400, num_frames=VT, gelu_approx=True,
+                           residual_dtype="bfloat16")
+        vx = jax.random.normal(rng, (VB, VT, 224, 224, 3), jnp.float32)
+        vdyt = VideoVisionTransformer(vcfg, tuning=TuningConfig(),
+                                      select=sel, dtype=jnp.bfloat16)
+        vdense = VideoVisionTransformer(vcfg,
+                                        tuning=TuningConfig(ffn_adapt=False),
+                                        select=SelectConfig(open=False),
+                                        dtype=jnp.bfloat16)
+        vdyt_p = vdyt.init(jax.random.PRNGKey(1), vx[:1])["params"]
+        vdense_p = vdense.init(jax.random.PRNGKey(1), vx[:1])["params"]
+
+        def v_many(model, **kw):
+            @jax.jit
+            def many(p, xx):
+                def body(c, _):
+                    logits, _a = model.apply(
+                        {"params": p}, xx + (c != 0).astype(xx.dtype), **kw)
+                    return logits.sum().astype(jnp.float32), None
+                out, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                      length=VITERS)
+                return out
+            return many
+
+        vd_many = v_many(vdense)
+        vy_many = v_many(vdyt, dispatch=True)
+        _ = float(vd_many(vdense_p, vx)); _ = float(vy_many(vdyt_p, vx))
+        vbest = {"dense": float("inf"), "dyt": float("inf")}
+        for _ in range(3):   # interleaved: the ratio survives drift
+            for name, many, p in (("dense", vd_many, vdense_p),
+                                  ("dyt", vy_many, vdyt_p)):
+                t0 = time.perf_counter()
+                _ = float(many(p, vx))
+                vbest[name] = min(vbest[name], time.perf_counter() - t0)
+        vid = {"video_clips_s": round(VB * VITERS / vbest["dyt"], 1),
+               "video_dense_clips_s": round(VB * VITERS / vbest["dense"], 1),
+               "video_vs_dense": round(vbest["dense"] / vbest["dyt"], 4)}
+    except Exception:
+        pass  # video bench is an extra: never fail the headline
+
+    # --- seg family: full DyTSegmentor (UPerHead included — the deployed
+    # model; the head is routing-independent so it dilutes the ratio,
+    # BENCH.md head-dominance note), 512^2 crops ----------------------------
+    seg = {}
+    try:
+        from dynamic_tuning_tpu.models.upernet import DyTSegmentor
+
+        SB, SITERS = 4, 6
+        scfg = ModelConfig(img_size=512, gelu_approx=True,
+                           residual_dtype="bfloat16")
+        sx = jax.random.normal(rng, (SB, 512, 512, 3), jnp.float32)
+        sdyt = DyTSegmentor(scfg, num_classes=150, tuning=TuningConfig(),
+                            select=sel, dtype=jnp.bfloat16)
+        sdense = DyTSegmentor(scfg, num_classes=150,
+                              tuning=TuningConfig(ffn_adapt=False),
+                              select=SelectConfig(open=False),
+                              dtype=jnp.bfloat16)
+        sdyt_p = sdyt.init(jax.random.PRNGKey(1), sx[:1])["params"]
+        sdense_p = sdense.init(jax.random.PRNGKey(1), sx[:1])["params"]
+
+        def s_many(model, **kw):
+            @jax.jit
+            def many(p, xx):
+                def body(c, _):
+                    logits, _aux, _sel = model.apply(
+                        {"params": p}, xx + (c != 0).astype(xx.dtype),
+                        training=False, **kw)
+                    return logits.sum().astype(jnp.float32), None
+                out, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                      length=SITERS)
+                return out
+            return many
+
+        sd_many = s_many(sdense)
+        sy_many = s_many(sdyt, dispatch=True)
+        _ = float(sd_many(sdense_p, sx)); _ = float(sy_many(sdyt_p, sx))
+        sbest = {"dense": float("inf"), "dyt": float("inf")}
+        for _ in range(3):
+            for name, many, p in (("dense", sd_many, sdense_p),
+                                  ("dyt", sy_many, sdyt_p)):
+                t0 = time.perf_counter()
+                _ = float(many(p, sx))
+                sbest[name] = min(sbest[name], time.perf_counter() - t0)
+        seg = {"seg_crops_s": round(SB * SITERS / sbest["dyt"], 2),
+               "seg_dense_crops_s": round(SB * SITERS / sbest["dense"], 2),
+               "seg_vs_dense": round(sbest["dense"] / sbest["dyt"], 4)}
+    except Exception:
+        pass  # seg bench is an extra: never fail the headline
+
     print(json.dumps({
         "metric": "DyT ViT-B/16 images/sec/chip (capacity dispatch, keep 0.5, batch 128, bf16)",
         "value": round(dyt_ips, 2),
@@ -273,6 +369,8 @@ def main():
         **q8,
         **health,
         **trn,
+        **vid,
+        **seg,
     }))
 
 

@@ -11,10 +11,11 @@ Matrix mode (--matrix) is the capacity-vs-threshold equivalence sweep
 (SURVEY §7 hard part 1; the strongest sandbox stand-in for the VTAB
 accuracy half of the north star): ratios {0.3,0.5,0.7,0.9} x capacity
 {exact, +10%} x modality {image, video, seg-backbone}, asserting keep-rate
-convergence (|keep - target| < 0.1 for ratios <= 0.7; 0.22 at 0.9, where
-the budget gradient through sigmoid(l/tau) flattens in the tail) and
-mask-vs-dispatch holdout agreement <= 2% absolute.  Results table lands
-in BENCH.md.
+convergence |keep - target| < 0.03 at EVERY ratio (0.9 included — the r3
+plateau there was the harness's own cosine schedule decaying to zero
+before AdamW could move the router bias the ~2.2 logits the 0.9 quantile
+needs; see _train) and mask-vs-dispatch holdout agreement <= 2% absolute.
+Results table lands in BENCH.md.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
          python scripts/validate_dynamics.py [--matrix]
@@ -92,7 +93,15 @@ def _train(model, sel, x, y, steps, lr=5e-3, batch=64, predicate=None):
         tr, fr = partition_params(params)
     else:
         tr, fr = partition_params(params, predicate)
-    tx = make_optimizer(lr, warmup_epochs=1, epochs=30, steps_per_epoch=10)
+    # The cosine schedule must span the ACTUAL step budget.  A schedule
+    # that hits zero before `steps` do starves AdamW's travel budget: the
+    # router bias can only move ~integral(lr), and reaching a 0.9 keep-rate
+    # needs a ~2.2-logit shift (logistic 0.9-quantile) vs ~0.85 for 0.7 —
+    # r3's 0.745@0.9 "plateau" was exactly this harness artifact (schedule
+    # hardcoded to 300 steps).  With the schedule matched, all ratios incl.
+    # 0.9 converge within 0.03 (BENCH.md round-4 matrix).
+    tx = make_optimizer(lr, warmup_epochs=1, epochs=30,
+                        steps_per_epoch=max(1, steps // 30))
     state = create_train_state(tr, fr, tx, jax.random.PRNGKey(1))
     step = jax.jit(make_train_step(model_apply_fn(model), tx, sel))
     n_train = x.shape[0] - HOLDOUT
@@ -250,7 +259,7 @@ def run_seg(ratio, steps):
     return out
 
 
-def matrix(steps=300, only=None):
+def matrix(steps=600, only=None):
     rows, fails = [], []
     for modality, runner in (("image", run_image), ("video", run_video),
                              ("seg", run_seg)):
@@ -263,11 +272,10 @@ def matrix(steps=300, only=None):
                 for k, v in r.items()}}
             rows.append(row)
             print(json.dumps(row), flush=True)
-            # keep-rate convergence: tight at the paper's operating ratios;
-            # at 0.9 the budget gradient through sigmoid(l/tau) flattens
-            # (router logits deep in the tail move ~0.01/100 steps) so only
-            # directional convergence is asserted there
-            tol = 0.1 if ratio <= 0.7 else 0.22
+            # keep-rate convergence: tight at ALL of the paper's operating
+            # ratios, 0.9 included (the r3 plateau there was a harness
+            # schedule artifact, fixed in _train — see its comment)
+            tol = 0.03
             if abs(r["train_keep"] - ratio) >= tol:
                 fails.append(f"{modality}@{ratio}: train keep {r['train_keep']}")
             if r["loss_last"] >= r["loss_first"]:

@@ -1,0 +1,154 @@
+"""One-shot validation against the REAL released ViT-B/16-IN21K weights.
+
+The whole reference recipe starts from timm's ``jx_vit_base_patch16_224_
+in21k`` checkpoint (/root/reference/main_image.py:219-256).  Our import
+path (qkv packing, OIHW->HWIO, head surgery, exact-torch-bicubic pos-embed
+interpolation) is pinned at full shape on realistic-statistics RANDOM
+state dicts; this script closes the last gap the day the real ``.pth``
+lands (no egress in the build sandbox — see OPERATOR.md).
+
+What it does, given the .pth:
+  1. loads the checkpoint into the REFERENCE's own model code
+     (models/vision_transformer_IN21K.py, executed unmodified via the
+     test-only timm shim) at the checkpoint's native class count;
+  2. imports the same .pth into our flax model via
+     train/checkpoint.import_pretrained;
+  3. runs both in ``complete_model=True`` eval (adapters are zero-init by
+     the lora rule so fresh adapter/router params contribute nothing) on a
+     shared batch of normalized inputs, and on real images if a directory
+     is supplied;
+  4. reports max |logit delta|, relative scale, argmax agreement, and the
+     missing-keys set (must be exactly the adapter/router params, i.e. the
+     reference's trainable set).
+
+Pass criteria (printed as JSON): rel_err <= 1e-3, argmax agreement = 1.0,
+missing == adapters+routers only.
+
+Run: python scripts/validate_real_ckpt.py --ckpt /ckpts/VIT_BASE_IN21K.pth
+         [--images /path/to/dir] [--batch 8] [--tpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--images", default=None,
+                    help="optional dir of JPEG/PNG images for a real-pixel "
+                         "logit comparison (decoded by our eval pipeline)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the JAX side on the default backend (TPU); "
+                         "default forces CPU for an apples-to-apples fp32 "
+                         "comparison")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            print(f"WARNING: could not force CPU platform ({e})",
+                  file=sys.stderr)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+    from dynamic_tuning_tpu.models.vit import VisionTransformer
+    from dynamic_tuning_tpu.train.checkpoint import (import_pretrained,
+                                                     load_torch_state_dict)
+
+    sd = load_torch_state_dict(args.ckpt)
+    classes = int(sd["head.weight"].shape[0]) if "head.weight" in sd else 0
+    report = {"ckpt": args.ckpt, "classes": classes,
+              "n_keys": len(sd)}
+
+    # --- inputs: normalized random + optional real images ----------------
+    rs = np.random.RandomState(0)
+    x = np.clip(rs.randn(args.batch, 224, 224, 3), -2.6, 2.6
+                ).astype(np.float32)
+    if args.images:
+        from dynamic_tuning_tpu.data.datasets import decode_canvas
+
+        files = sorted(
+            f for f in os.listdir(args.images)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))[:args.batch]
+        # 224 canvas (Resize short side + CenterCrop, PIL bicubic — the
+        # reference eval chain) then IN normalization
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        imgs = [(decode_canvas(os.path.join(args.images, f), 224)
+                 .astype(np.float32) / 255.0 - mean) / std for f in files]
+        if imgs:
+            x = np.stack(imgs).astype(np.float32)
+            report["real_images"] = len(imgs)
+
+    # --- reference's own code with the real weights -----------------------
+    from reference_oracle import (build_reference_image_model,
+                                  reference_available)
+
+    if not reference_available():
+        print(json.dumps({**report, "error":
+                          "/root/reference not present — reference-executed "
+                          "side skipped"}))
+        return 1
+    ref = build_reference_image_model(classes=classes or 1000)
+    tsd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+           if not k.startswith("pre_logits.")}
+    missing, unexpected = ref.load_state_dict(tsd, strict=False)
+    trainable_only = all(("adaptmlp" in k or "mlp_token_select" in k)
+                         for k in missing)
+    report["torch_missing_ok"] = trainable_only
+    report["torch_unexpected"] = list(unexpected)
+    ref.eval()
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(),
+                      complete_model=True)
+    want = want.numpy()
+
+    # --- our import path + flax model -------------------------------------
+    model = VisionTransformer(ModelConfig(num_classes=classes or 1000),
+                              tuning=TuningConfig(), select=SelectConfig(),
+                              dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+    params, miss = import_pretrained(params, sd)
+    flax_missing_ok = all(("adaptmlp" in p or "mlp_token_select" in p)
+                          for p in miss)
+    report["flax_missing_ok"] = flax_missing_ok
+    ours, _ = model.apply({"params": params}, jnp.asarray(x),
+                          complete_model=True)
+    ours = np.asarray(ours, np.float32)
+
+    # --- verdict -----------------------------------------------------------
+    scale = float(np.abs(want).max())
+    max_abs = float(np.abs(ours - want).max())
+    rel = max_abs / max(scale, 1e-9)
+    agree = float((ours.argmax(-1) == want.argmax(-1)).mean())
+    top5_ours = np.argsort(-ours, axis=-1)[:, :5]
+    top5_want = np.argsort(-want, axis=-1)[:, :5]
+    report.update({
+        "logit_scale": round(scale, 3),
+        "max_abs_delta": round(max_abs, 6),
+        "rel_err": round(rel, 8),
+        "argmax_agreement": agree,
+        "top5_overlap": float((top5_ours == top5_want).mean()),
+        "pass": bool(rel <= 1e-3 and agree == 1.0 and trainable_only
+                     and flax_missing_ok and not unexpected),
+    })
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
