@@ -282,6 +282,10 @@ def main():
                                         dtype=jnp.bfloat16)
         vdyt_p = vdyt.init(jax.random.PRNGKey(1), vx[:1])["params"]
         vdense_p = vdense.init(jax.random.PRNGKey(1), vx[:1])["params"]
+        import dataclasses as _dc
+        vq8 = VideoVisionTransformer(_dc.replace(vcfg, quant="int8"),
+                                     tuning=TuningConfig(), select=sel,
+                                     dtype=jnp.bfloat16)
 
         def v_many(model, **kw):
             @jax.jit
@@ -297,17 +301,23 @@ def main():
 
         vd_many = v_many(vdense)
         vy_many = v_many(vdyt, dispatch=True)
+        vq_many = v_many(vq8, dispatch=True)
         _ = float(vd_many(vdense_p, vx)); _ = float(vy_many(vdyt_p, vx))
-        vbest = {"dense": float("inf"), "dyt": float("inf")}
+        _ = float(vq_many(vdyt_p, vx))
+        vbest = {"dense": float("inf"), "dyt": float("inf"),
+                 "q8": float("inf")}
         for _ in range(3):   # interleaved: the ratio survives drift
             for name, many, p in (("dense", vd_many, vdense_p),
-                                  ("dyt", vy_many, vdyt_p)):
+                                  ("dyt", vy_many, vdyt_p),
+                                  ("q8", vq_many, vdyt_p)):
                 t0 = time.perf_counter()
                 _ = float(many(p, vx))
                 vbest[name] = min(vbest[name], time.perf_counter() - t0)
         vid = {"video_clips_s": round(VB * VITERS / vbest["dyt"], 1),
                "video_dense_clips_s": round(VB * VITERS / vbest["dense"], 1),
-               "video_vs_dense": round(vbest["dense"] / vbest["dyt"], 4)}
+               "video_vs_dense": round(vbest["dense"] / vbest["dyt"], 4),
+               "video_int8_clips_s": round(VB * VITERS / vbest["q8"], 1),
+               "video_int8_vs_dense": round(vbest["dense"] / vbest["q8"], 4)}
     except Exception:
         pass  # video bench is an extra: never fail the headline
 
@@ -330,6 +340,10 @@ def main():
                               dtype=jnp.bfloat16)
         sdyt_p = sdyt.init(jax.random.PRNGKey(1), sx[:1])["params"]
         sdense_p = sdense.init(jax.random.PRNGKey(1), sx[:1])["params"]
+        import dataclasses as _dc2
+        sq8 = DyTSegmentor(_dc2.replace(scfg, quant="int8"), num_classes=150,
+                           tuning=TuningConfig(), select=sel,
+                           dtype=jnp.bfloat16)
 
         def s_many(model, **kw):
             @jax.jit
@@ -346,17 +360,23 @@ def main():
 
         sd_many = s_many(sdense)
         sy_many = s_many(sdyt, dispatch=True)
+        sq_many = s_many(sq8, dispatch=True)
         _ = float(sd_many(sdense_p, sx)); _ = float(sy_many(sdyt_p, sx))
-        sbest = {"dense": float("inf"), "dyt": float("inf")}
+        _ = float(sq_many(sdyt_p, sx))
+        sbest = {"dense": float("inf"), "dyt": float("inf"),
+                 "q8": float("inf")}
         for _ in range(3):
             for name, many, p in (("dense", sd_many, sdense_p),
-                                  ("dyt", sy_many, sdyt_p)):
+                                  ("dyt", sy_many, sdyt_p),
+                                  ("q8", sq_many, sdyt_p)):
                 t0 = time.perf_counter()
                 _ = float(many(p, sx))
                 sbest[name] = min(sbest[name], time.perf_counter() - t0)
         seg = {"seg_crops_s": round(SB * SITERS / sbest["dyt"], 2),
                "seg_dense_crops_s": round(SB * SITERS / sbest["dense"], 2),
-               "seg_vs_dense": round(sbest["dense"] / sbest["dyt"], 4)}
+               "seg_vs_dense": round(sbest["dense"] / sbest["dyt"], 4),
+               "seg_int8_crops_s": round(SB * SITERS / sbest["q8"], 2),
+               "seg_int8_vs_dense": round(sbest["dense"] / sbest["q8"], 4)}
     except Exception:
         pass  # seg bench is an extra: never fail the headline
 

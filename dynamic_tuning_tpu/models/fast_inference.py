@@ -209,3 +209,35 @@ def fast_vit_forward(params: Dict, x: jax.Array, *, cfg: ModelConfig,
                      preferred_element_type=jnp.float32) + params["head"]["bias"]
     gate_stack = jnp.stack(gates, axis=1) if gates else None
     return logits, gate_stack
+
+
+def chunked_serving(fn, chunk: int = 128):
+    """Wrap a batch-leading serving fn to process ``chunk`` images at a time
+    INSIDE one jitted program (``lax.map`` over equal chunks + one tail call).
+
+    Why: the monolithic big-batch program is measurably slower per image
+    than chained 128-image chunks on TPU — the interleaved batch curve
+    (scripts/diagnose_batch_dip.py, BENCH.md round 4) puts dispatch at
+    5161 img/s for one b256 program vs 5488 when the same jit runs it as
+    2x128 (b128 monolith: 5391).  Not an HBM-capacity effect (peak temp
+    742 MB at b256) — the larger-shape program schedules worse than the
+    chunk loop, so chunking is the serving operating envelope for b>128.
+
+    ``fn`` maps ``[B, ...] -> pytree`` with every leaf batch-leading; the
+    wrapper is shape-polymorphic over B and returns the same pytree.
+    """
+    def wrapped(x, *args, **kwargs):
+        B = x.shape[0]
+        if chunk <= 0 or B <= chunk:
+            return fn(x, *args, **kwargs)
+        n = B // chunk
+        main = x[:n * chunk].reshape(n, chunk, *x.shape[1:])
+        outs = jax.lax.map(lambda c: fn(c, *args, **kwargs), main)
+        outs = jax.tree_util.tree_map(
+            lambda o: o.reshape(n * chunk, *o.shape[2:]), outs)
+        if B % chunk:
+            tail = fn(x[n * chunk:], *args, **kwargs)
+            outs = jax.tree_util.tree_map(
+                lambda o, t: jnp.concatenate([o, t], axis=0), outs, tail)
+        return outs
+    return wrapped

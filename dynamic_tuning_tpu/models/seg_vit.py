@@ -83,6 +83,9 @@ class SegVisionTransformer(nn.Module):
                              (1, hp * wp + 1, cfg.embed_dim), jnp.float32)
             x = x + pos
         x = nn.Dropout(cfg.pos_drop_rate)(x, deterministic=not training)
+        # residual-stream dtype knob, mirroring vit.py / video_vit.py (fp32
+        # default preserves reference-AMP parity; bf16 is the serving mode)
+        x = x.astype(jnp.dtype(cfg.residual_dtype))
 
         out_indices = (self.out_indices if self.out_indices is not None
                        else default_out_indices(cfg.depth))

@@ -166,6 +166,11 @@ class VideoVisionTransformer(nn.Module):
                          (1, cfg.seq_len, cfg.embed_dim), jnp.float32)
         x = x + pos
         x = nn.Dropout(cfg.pos_drop_rate)(x, deterministic=not training)
+        # residual-stream dtype: mirror vit.py (fp32 default = reference AMP
+        # promotion; bf16 halves residual HBM for serving).  Was hardcoded
+        # fp32 here while the image model honored the knob — the video
+        # serving bench silently ran a double-width residual stream.
+        x = x.astype(jnp.dtype(cfg.residual_dtype))
 
         gates, logits_all = [], []
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)

@@ -137,15 +137,23 @@ def main(args):
         if mode == "auto":
             mode = ("dense" if len(chunk) < AUTO_DISPATCH_MIN_BATCH
                     else "dispatch")
+        # batches beyond 128 serve as chained 128-image chunks inside one
+        # program: the monolithic big-batch jit is ~6% slower per image
+        # (BENCH.md round-4 batch-dip diagnosis)
+        from dynamic_tuning_tpu.models.fast_inference import chunked_serving
         if args.quant != "none":
-            logits, ts = flax_fwd(params, xb, complete=mode == "dense",
-                                  dispatch=mode == "dispatch")
+            fwd = chunked_serving(
+                lambda c: flax_fwd(params, c, complete=mode == "dense",
+                                   dispatch=mode == "dispatch"))
+            logits, ts = fwd(xb)
             keep = (np.full(len(chunk), 1.0) if ts is None
                     else np.asarray(ts).mean(axis=(1, 2, 3)))
         else:
-            logits, gates = fast_vit_forward(params, xb, cfg=cfg,
-                                             tuning=tuning, select=sel,
-                                             mode=mode, use_pallas=False)
+            fwd = chunked_serving(
+                lambda c: fast_vit_forward(params, c, cfg=cfg,
+                                           tuning=tuning, select=sel,
+                                           mode=mode, use_pallas=False))
+            logits, gates = fwd(xb)
             keep = (np.asarray(gates).mean(axis=(1, 2))
                     if gates is not None else np.full(len(chunk), 1.0))
         probs = jax.nn.softmax(logits, -1)

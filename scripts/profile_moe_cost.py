@@ -1,0 +1,84 @@
+"""MoE-adapter serving cost (VERDICT r3 #5, second half).
+
+The fused DyT prologue kernel only fuses the PLAIN parallel adapter; an
+MoE adapter (or in/out-LN adapter) falls back to the module path
+(models/layers.py Block.__call__, `plain_adapter` guard).  This measures
+that fallback's price on the real serving path, full-scale ViT-B/16 224^2
+batch 128 bf16 capacity-dispatch (the bench.py protocol):
+
+  A. plain adapter, fused kernels ON          (the headline config)
+  B. MoE-4 adapter  -> adapter falls off the fused prologue (the
+     attention-sublayer kernel still applies)   (what MoE actually costs)
+  C. plain adapter, DYT_FUSED_ATTN=0          (context: the FULLY unfused
+     cost — B sits between A and C because MoE only loses the prologue
+     fusion, so B-A = prologue-fusion loss + 4x expert flops + router)
+
+Timings via scripts/bench_util.device_time (tunnel-RTT-free scan
+difference), variants timed back-to-back in one session so the ratios
+survive chip-speed drift.
+
+Run (TPU): python scripts/profile_moe_cost.py [--batch 128]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from bench_util import device_time
+from dynamic_tuning_tpu.config import ModelConfig, SelectConfig, TuningConfig
+from dynamic_tuning_tpu.models.vit import VisionTransformer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--i2", type=int, default=25)
+    args = ap.parse_args()
+
+    cfg = ModelConfig(num_classes=100, gelu_approx=True,
+                      residual_dtype="bfloat16")
+    sel = SelectConfig(token_target_ratio=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (args.batch, 224, 224, 3), jnp.float32)
+
+    variants = {
+        "plain_fused": (TuningConfig(), "1"),
+        "moe4_fallback": (TuningConfig(moe_experts=4), "1"),
+        "plain_unfused": (TuningConfig(), "0"),
+    }
+
+    out = {}
+    for name, (tun, fused) in variants.items():
+        os.environ["DYT_FUSED_ATTN"] = fused
+        model = VisionTransformer(cfg, tuning=tun, select=sel,
+                                  dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
+
+        def fwd(xx, p):
+            # array arg first: device_time perturbs args[0] per iteration
+            logits, _ = model.apply({"params": p}, xx, dispatch=True)
+            return logits.sum()
+
+        dt = device_time(fwd, x, params, i1=5, i2=args.i2)
+        out[name] = dict(ms=round(dt * 1e3, 3),
+                         img_s=round(args.batch / dt, 1))
+        print(json.dumps({name: out[name]}), flush=True)
+
+    a, b, c = (out["plain_fused"]["ms"], out["moe4_fallback"]["ms"],
+               out["plain_unfused"]["ms"])
+    print(json.dumps({
+        "moe_serving_premium": round(b / a, 4),
+        "moe_premium_ms": round(b - a, 3),
+        "all_unfused_context_ms": c,
+    }))
+
+
+if __name__ == "__main__":
+    main()

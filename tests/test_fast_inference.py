@@ -123,3 +123,42 @@ def test_fast_path_rejects_unsupported_adapter_configs():
                          tuning=TuningConfig(ffn_num=8, d_model=64,
                                              moe_experts=4),
                          select=SelectConfig(), mode="dense")
+
+
+def test_chunked_serving_matches_monolithic():
+    """chunked_serving (the b>128 operating-envelope wrapper, BENCH.md
+    round-4 batch-dip diagnosis) must be output-identical to the monolithic
+    call — equal chunks, remainder tail, and None-leaf pytrees included."""
+    from dynamic_tuning_tpu.models.fast_inference import chunked_serving
+
+    cfg = ModelConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=64,
+                      depth=2, num_heads=4)
+    tuning = TuningConfig(ffn_num=8, d_model=64)
+    sel = SelectConfig(token_target_ratio=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (10, 32, 32, 3))
+    from dynamic_tuning_tpu.models.vit import VisionTransformer
+    model = VisionTransformer(cfg, tuning=tuning, select=sel,
+                              dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
+
+    def fwd(c):
+        return fast_vit_forward(params, c, cfg=cfg, tuning=tuning,
+                                select=sel, mode="dispatch",
+                                use_pallas=False)
+
+    ref_logits, ref_gates = fwd(x)
+    for chunk in (4, 5, 16):   # remainder, divisible, degenerate (B<chunk)
+        got_logits, got_gates = chunked_serving(fwd, chunk)(x)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(ref_logits), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_gates),
+                                   np.asarray(ref_gates), rtol=0, atol=0)
+
+    # dense mode returns gates=None — the None leaf must survive chunking
+    def fwd_dense(c):
+        return fast_vit_forward(params, c, cfg=cfg, tuning=tuning,
+                                select=sel, mode="dense", use_pallas=False)
+
+    dl, dg = chunked_serving(fwd_dense, 4)(x)
+    assert dg is None and dl.shape == (10, 10)
