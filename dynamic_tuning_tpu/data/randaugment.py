@@ -4,16 +4,16 @@ The reference vendors a PIL-op RandAugment (video_datasets/rand_augment.py,
 537 LoC: shear/translate/rotate/posterize/solarize/color ops, magnitude
 mappers, config-string parser) running on CPU workers.  This is the TPU-native
 re-expression: every op is a jittable tensor function on uint8 HWC images,
-geometric ops go through one bilinear ``map_coordinates`` warp, and per-image
+geometric ops go through one affine warp (bilinear by default, or the
+EXACT Pillow-transform BICUBIC — a non-normalized 2-tap cubic, see
+``_pil_transform_cubic`` — via ``interpolation="bicubic"``, which the
+video pipeline passes to match the reference recipe's
+interpolation='bicubic', k400.py:133), and per-image
 op selection uses ``lax.switch`` — the whole augmentation runs vmapped on
-device inside the input pipeline.
-
-Known approximation: the reference warps with PIL BICUBIC when the video
-recipe passes interpolation='bicubic' (k400.py:133); jax map_coordinates
-caps at order=1 (bilinear).  Augmentation-time only — timm's own default
-(_RANDOM_INTERPOLATION) already mixes bilinear/bicubic per op, so the aug
-distribution is not kernel-pinned even in torch-land; eval paths use the
-exact reference kernels (see data/video.py, data/transforms.py).
+device inside the input pipeline.  timm's own image default
+(_RANDOM_INTERPOLATION) mixes bilinear/bicubic per op, so bilinear stays
+the image-path default; eval paths use the exact reference kernels (see
+data/video.py, data/transforms.py).
 
 Config strings follow the same grammar: ``rand-m7-n4-mstd0.5-inc1``
 (magnitude 7, 4 ops/image, magnitude jitter std 0.5; inc selects the
@@ -36,14 +36,45 @@ FILL = 128.0
 
 # --- geometric ops (single affine warp) -------------------------------------
 
-def _affine(img: jax.Array, mat: jax.Array) -> jax.Array:
-    """Apply inverse affine [2x3] to an HWC uint8/float image, bilinear,
-    gray fill."""
+def _pil_transform_cubic(t: jax.Array) -> jax.Array:
+    """Pillow Geometry.c ``bicubic_filter`` weights for the 4 taps at
+    offsets {-1, 0, 1, 2} given fractional coordinate ``t`` in [0,1).
+
+    Pillow's ``Image.transform(..., resample=BICUBIC)`` does NOT use the
+    a=-0.5 Keys kernel its resize path uses: Geometry.c keeps the classic
+    a=-1.0 cubic-convolution kernel.  Pinned empirically (Pillow 12.1)
+    by impulse/pair responses: near weights k(0.25)=0.8906, k(0.75)=0.2969
+    (= t^3-2t^2+1, the a=-1 near lobe) and far weights k(1.25)=-0.141,
+    k(1.75)=-0.047 recovered from two-pixel superposition (negative lobes
+    are invisible in a single-impulse probe — they clamp to 0 in uint8).
+    Matching the reference's video RandAugment (PIL transform,
+    interpolation='bicubic', k400.py:133) means matching THIS kernel."""
+    a = -1.0
+    d = jnp.stack([t + 1.0, t, 1.0 - t, 2.0 - t])          # |x| per tap
+    near = (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0   # |x| < 1
+    far = a * (d ** 3 - 5.0 * d ** 2 + 8.0 * d - 4.0)      # 1 <= |x| < 2
+    return jnp.stack([far[0], near[1], near[2], far[3]])
+
+
+def _affine(img: jax.Array, mat: jax.Array, order: int = 1,
+            centered: bool = True) -> jax.Array:
+    """Apply inverse affine [2x3] to an HWC uint8/float image, gray fill.
+
+    ``order``: 1 = bilinear (timm's default image recipe mixes kernels, so
+    bilinear is representative); 3 = PIL-transform BICUBIC (the exact
+    Pillow a=-1 cubic, see ``_pil_transform_cubic``) — the video recipe's
+    interpolation='bicubic' (reference k400.py:133).
+
+    ``centered``: True maps about the image center (PIL ``rotate``
+    semantics — verified against PIL to ±1); False reproduces PIL
+    ``transform(AFFINE)``, which the reference's shear ops use with
+    origin-anchored coeffs (rand_augment.py:70-81): PIL samples at
+    ``M @ (out + 0.5) + t - 0.5`` (pixel-CENTER convention), which our
+    centered form yields exactly with cx = cy = -0.5."""
     h, w = img.shape[0], img.shape[1]
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    # centered coords (PIL rotates/shears about the center)
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cx, cy = ((w - 1) / 2.0, (h - 1) / 2.0) if centered else (-0.5, -0.5)
     xs = xx - cx
     ys = yy - cy
     src_x = mat[0, 0] * xs + mat[0, 1] * ys + mat[0, 2] + cx
@@ -51,37 +82,69 @@ def _affine(img: jax.Array, mat: jax.Array) -> jax.Array:
     inside = ((src_x >= 0) & (src_x <= w - 1) &
               (src_y >= 0) & (src_y <= h - 1))
 
-    def sample(ch):
-        return jax.scipy.ndimage.map_coordinates(
-            ch.astype(jnp.float32), [src_y, src_x], order=1, mode="nearest")
+    if order == 3:
+        imgf = img.astype(jnp.float32)
+        x0 = jnp.floor(src_x)
+        y0 = jnp.floor(src_y)
+        wx = _pil_transform_cubic(src_x - x0)           # [4, H, W]
+        wy = _pil_transform_cubic(src_y - y0)
+        xi = x0.astype(jnp.int32)
+        yi = y0.astype(jnp.int32)
+        out = jnp.zeros_like(imgf)
+        for dy in range(-1, 3):
+            row = jnp.clip(yi + dy, 0, h - 1)
+            for dx in range(-1, 3):
+                col = jnp.clip(xi + dx, 0, w - 1)
+                wgt = (wy[dy + 1] * wx[dx + 1])[..., None]
+                out = out + wgt * imgf[row, col]
+        # PIL clamps the (overshooting a=-1 lobes) result to uint8
+        out = jnp.clip(out, 0.0, 255.0)
+    else:
+        def sample(ch):
+            return jax.scipy.ndimage.map_coordinates(
+                ch.astype(jnp.float32), [src_y, src_x], order=1,
+                mode="nearest")
 
-    out = jnp.stack([sample(img[..., c]) for c in range(img.shape[-1])], -1)
+        out = jnp.stack([sample(img[..., c]) for c in range(img.shape[-1])],
+                        -1)
     return jnp.where(inside[..., None], out, FILL)
 
 
-def shear_x(img, v):
-    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[0, 1].set(v))
+def shear_x(img, v, order=1):
+    # PIL transform coeffs (1, v, 0, 0, 1, 0): src_x = x + v*y about the
+    # top-left origin — the reference shears are NOT center-shears
+    # (rand_augment.py:70-74)
+    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[0, 1].set(v),
+                   order, centered=False)
 
 
-def shear_y(img, v):
-    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[1, 0].set(v))
+def shear_y(img, v, order=1):
+    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[1, 0].set(v),
+                   order, centered=False)
 
 
-def translate_x(img, v):
+def translate_x(img, v, order=1):
     # v is a pixel offset; inverse map shifts the sampling grid
-    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[0, 2].set(v))
+    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[0, 2].set(v),
+                   order)
 
 
-def translate_y(img, v):
-    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[1, 2].set(v))
+def translate_y(img, v, order=1):
+    return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]).at[1, 2].set(v),
+                   order)
 
 
-def rotate(img, deg):
-    rad = -deg * jnp.pi / 180.0      # inverse rotation
+def rotate(img, deg, order=1):
+    # the inverse (output->input) map of PIL rotate(deg) is the +deg
+    # rotation in (x right, y down) coords — pinned against PIL to ±1
+    # interior (an earlier revision negated this; the magnitude sign is
+    # randomized so the aug DISTRIBUTION was unaffected, but per-op parity
+    # was mirrored)
+    rad = deg * jnp.pi / 180.0
     c, s = jnp.cos(rad), jnp.sin(rad)
     return _affine(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]])
                    .at[0, 0].set(c).at[0, 1].set(-s)
-                   .at[1, 0].set(s).at[1, 1].set(c))
+                   .at[1, 0].set(s).at[1, 1].set(c), order)
 
 
 # --- photometric ops ----------------------------------------------------------
@@ -226,11 +289,20 @@ def parse_config(config: str) -> Tuple[float, int, float]:
     return m, n, mstd
 
 
+_GEOMETRIC = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY"}
+
+
 def rand_augment(rng: jax.Array, img: jax.Array, *, magnitude: float = 9.0,
-                 num_ops: int = 2, mstd: float = 0.5) -> jax.Array:
-    """Apply ``num_ops`` randomly-chosen ops to one HWC uint8 image."""
+                 num_ops: int = 2, mstd: float = 0.5,
+                 interpolation: str = "bilinear") -> jax.Array:
+    """Apply ``num_ops`` randomly-chosen ops to one HWC uint8 image.
+
+    ``interpolation``: warp kernel for the geometric ops — "bilinear"
+    (image default; timm mixes kernels) or "bicubic" (the video recipe's
+    PIL BICUBIC, reference k400.py:133)."""
     img = img.astype(jnp.float32)
     size = img.shape[1]
+    order = 3 if interpolation == "bicubic" else 1
 
     def apply_one(i, carry):
         im, r = carry
@@ -242,7 +314,11 @@ def rand_augment(rng: jax.Array, img: jax.Array, *, magnitude: float = 9.0,
         branches = []
         for name, fn in OPS:
             v = _magnitude(name, level, r_sign, size)
-            branches.append(partial(lambda f, vv, x: f(x, vv), fn, v))
+            if name in _GEOMETRIC:
+                branches.append(
+                    partial(lambda f, vv, x: f(x, vv, order), fn, v))
+            else:
+                branches.append(partial(lambda f, vv, x: f(x, vv), fn, v))
         im = jax.lax.switch(op_idx, branches, im)
         return im, r
 
@@ -251,11 +327,13 @@ def rand_augment(rng: jax.Array, img: jax.Array, *, magnitude: float = 9.0,
 
 
 def rand_augment_batch(rng: jax.Array, imgs: jax.Array,
-                       config: str = "rand-m9-n2-mstd0.5-inc1") -> jax.Array:
+                       config: str = "rand-m9-n2-mstd0.5-inc1",
+                       interpolation: str = "bilinear") -> jax.Array:
     """[B,H,W,3] uint8 -> augmented uint8 (vmapped per image)."""
     m, n, mstd = parse_config(config)
     rngs = jax.random.split(rng, imgs.shape[0])
-    fn = partial(rand_augment, magnitude=m, num_ops=n, mstd=mstd)
+    fn = partial(rand_augment, magnitude=m, num_ops=n, mstd=mstd,
+                 interpolation=interpolation)
     out = jax.vmap(fn)(rngs, imgs)
     return out.astype(jnp.uint8)
 

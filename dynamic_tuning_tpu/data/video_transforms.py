@@ -214,9 +214,12 @@ def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
             m, n_ops, mstd = parse_config(randaug)
 
             def aug_clip(r, clip):
-                # same rng for all frames -> temporally consistent ops
+                # same rng for all frames -> temporally consistent ops;
+                # bicubic warps = the reference video recipe's
+                # interpolation='bicubic' (k400.py:133)
                 return jax.vmap(lambda f: rand_augment(
-                    r, f, magnitude=m, num_ops=n_ops, mstd=mstd))(clip)
+                    r, f, magnitude=m, num_ops=n_ops, mstd=mstd,
+                    interpolation="bicubic"))(clip)
 
             r_ra, rng = jax.random.split(rng)
             ra_rngs = jax.random.split(r_ra, clips.shape[0])

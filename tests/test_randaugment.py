@@ -98,3 +98,83 @@ def test_random_erasing_probability_and_box():
     rows = np.where(changed.any(axis=(1, 2)))[0]
     cols = np.where(changed.any(axis=(0, 2)))[0]
     assert changed[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].any()
+
+
+# --- bicubic warp (the video recipe's PIL BICUBIC, k400.py:133) --------------
+
+def test_bicubic_identity_and_integer_translate(img):
+    """The PIL-transform cubic at t=0 weights [1, 0], so identity and
+    integer shifts must be EXACT (same property the bilinear path has)."""
+    out = np.asarray(RA.rotate(_f(img), jnp.float32(0), order=3))
+    np.testing.assert_allclose(out, img.astype(np.float32), atol=1e-2)
+
+    out = np.asarray(RA.translate_x(_f(img), jnp.float32(8), order=3))
+    np.testing.assert_allclose(out[:, :24], img[:, 8:].astype(np.float32),
+                               atol=1e-2)
+    assert np.allclose(out[:, 24:], RA.FILL)
+
+
+def test_bicubic_fractional_translate_matches_pil(img):
+    """PIL oracle on a pure fractional shift — translation is invariant to
+    the rotation-center convention, so this pins the cubic KERNEL (the
+    Pillow Geometry.c non-normalized 2-tap cubic + uint8 clamp) against
+    PIL BICUBIC directly."""
+    tx, ty = 3.25, -1.75
+    ours = np.asarray(RA._affine(
+        _f(img), jnp.array([[1.0, 0, tx], [0, 1.0, ty]]), order=3))
+    coeffs = (1.0, 0.0, tx, 0.0, 1.0, ty)
+    ref = np.asarray(Image.fromarray(img).transform(
+        (32, 32), Image.AFFINE, coeffs, resample=Image.BICUBIC,
+        fillcolor=(128, 128, 128))).astype(np.float32)
+    # compare the interior (>=2 px inside both the border and the fill
+    # region) — PIL's edge handling near the fill boundary differs
+    inner = (slice(4, 28), slice(4, 28))
+    diff = np.abs(ours[inner] - ref[inner])
+    assert diff.max() <= 1.0, diff.max()   # PIL rounds to uint8; we stay float
+
+
+def test_bicubic_shear_close_to_bilinear_but_not_identical(img):
+    """The two kernels must agree coarsely (same geometry) while differing
+    in detail (different interpolation) — guards against the order knob
+    silently routing both ways to one kernel."""
+    bl = np.asarray(RA.shear_x(_f(img), jnp.float32(0.2), order=1))
+    bc = np.asarray(RA.shear_x(_f(img), jnp.float32(0.2), order=3))
+    assert np.abs(bl - bc).mean() < 20.0       # same geometry
+    assert np.abs(bl - bc).max() > 1.0         # different kernel
+
+
+@pytest.mark.parametrize("order,resample", [(1, Image.BILINEAR),
+                                            (3, Image.BICUBIC)])
+def test_rotate_matches_pil(img, order, resample):
+    """Full PIL-oracle parity for rotate, both kernels (interior, PIL
+    rounds to uint8 so +-1)."""
+    for deg in (20.0, -13.0):
+        ours = np.asarray(RA.rotate(_f(img), jnp.float32(deg), order=order))
+        ref = np.asarray(Image.fromarray(img).rotate(
+            deg, resample=resample, fillcolor=(128, 128, 128))
+        ).astype(np.float32)
+        inner = (slice(6, 26), slice(6, 26))
+        assert np.abs(ours[inner] - ref[inner]).max() <= 1.0
+
+
+@pytest.mark.parametrize("order,resample", [(1, Image.BILINEAR),
+                                            (3, Image.BICUBIC)])
+def test_shear_matches_pil(img, order, resample):
+    """Reference shears are origin-anchored PIL transforms
+    (rand_augment.py:70-81) — oracle parity for both axes and kernels."""
+    f = 0.2
+    ours = np.asarray(RA.shear_x(_f(img), jnp.float32(f), order=order))
+    ref = np.asarray(Image.fromarray(img).transform(
+        (32, 32), Image.AFFINE, (1, f, 0, 0, 1, 0), resample=resample,
+        fillcolor=(128, 128, 128))).astype(np.float32)
+    # 1.5: PIL's fixed-point bilinear can land one count below an exact
+    # x.9999... float result
+    inner = (slice(2, 26), slice(2, 26))
+    assert np.abs(ours[inner] - ref[inner]).max() <= 1.5
+
+    ours = np.asarray(RA.shear_y(_f(img), jnp.float32(-f), order=order))
+    ref = np.asarray(Image.fromarray(img).transform(
+        (32, 32), Image.AFFINE, (1, 0, 0, -f, 1, 0), resample=resample,
+        fillcolor=(128, 128, 128))).astype(np.float32)
+    inner = (slice(6, 30), slice(6, 30))
+    assert np.abs(ours[inner] - ref[inner]).max() <= 1.5
