@@ -127,6 +127,27 @@ def main(args):
     paths = _list_images(args.images)
     canvas = max(int(args.img_size * 256 / 224), args.img_size)
     results = []
+
+    # batches beyond 128 serve as chained 128-image chunks inside one
+    # program: the monolithic big-batch jit is ~6% slower per image
+    # (BENCH.md round-4 batch-dip diagnosis).  Wrappers are built ONCE per
+    # serving mode (not per loop batch) so trace/compile caches hold.
+    from dynamic_tuning_tpu.models.fast_inference import chunked_serving
+    fwd_cache = {}
+
+    def serving_fn(mode):
+        if mode not in fwd_cache:
+            if args.quant != "none":
+                fwd_cache[mode] = chunked_serving(
+                    lambda c: flax_fwd(params, c, complete=mode == "dense",
+                                       dispatch=mode == "dispatch"))
+            else:
+                fwd_cache[mode] = chunked_serving(
+                    lambda c: fast_vit_forward(params, c, cfg=cfg,
+                                               tuning=tuning, select=sel,
+                                               mode=mode, use_pallas=False))
+        return fwd_cache[mode]
+
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
         imgs = np.stack([_load_canvas(p, canvas) for p in chunk])
@@ -137,23 +158,12 @@ def main(args):
         if mode == "auto":
             mode = ("dense" if len(chunk) < AUTO_DISPATCH_MIN_BATCH
                     else "dispatch")
-        # batches beyond 128 serve as chained 128-image chunks inside one
-        # program: the monolithic big-batch jit is ~6% slower per image
-        # (BENCH.md round-4 batch-dip diagnosis)
-        from dynamic_tuning_tpu.models.fast_inference import chunked_serving
         if args.quant != "none":
-            fwd = chunked_serving(
-                lambda c: flax_fwd(params, c, complete=mode == "dense",
-                                   dispatch=mode == "dispatch"))
-            logits, ts = fwd(xb)
+            logits, ts = serving_fn(mode)(xb)
             keep = (np.full(len(chunk), 1.0) if ts is None
                     else np.asarray(ts).mean(axis=(1, 2, 3)))
         else:
-            fwd = chunked_serving(
-                lambda c: fast_vit_forward(params, c, cfg=cfg,
-                                           tuning=tuning, select=sel,
-                                           mode=mode, use_pallas=False))
-            logits, gates = fwd(xb)
+            logits, gates = serving_fn(mode)(xb)
             keep = (np.asarray(gates).mean(axis=(1, 2))
                     if gates is not None else np.full(len(chunk), 1.0))
         probs = jax.nn.softmax(logits, -1)

@@ -115,16 +115,16 @@ def main():
         out[name] = round(b / best[name], 1)
         print(json.dumps({name: {"ms": round(best[name] * 1e3, 3),
                                  "img_s": out[name]}}), flush=True)
-    if "dispatch_b128" in out and "dispatch_b256" in out:
+    if "dispatch_b128" in out and f"dispatch_b{bmax}" in out:
+        split_key = f"dispatch_b{bmax}_split2"
         print(json.dumps({
-            "dip_b256_vs_b128_dispatch": round(
-                out["dispatch_b256"] / out["dispatch_b128"], 4),
-            "dip_b256_vs_b128_dense": round(
-                out.get("dense_b256", 0) / out["dense_b128"], 4),
+            f"dip_b{bmax}_vs_b128_dispatch": round(
+                out[f"dispatch_b{bmax}"] / out["dispatch_b128"], 4),
+            f"dip_b{bmax}_vs_b128_dense": round(
+                out.get(f"dense_b{bmax}", 0) / out["dense_b128"], 4),
             "split2_recovery": round(
-                out.get("dispatch_b256_split2", 0)
-                / out["dispatch_b256"], 4) if "dispatch_b256_split2" in out
-            else None,
+                out[split_key] / out[f"dispatch_b{bmax}"], 4)
+            if split_key in out else None,
         }))
 
 
