@@ -77,6 +77,87 @@ def load_reference_modules():
     return dict(_CACHE)
 
 
+def _install_seg_import_environment():
+    """Fakes for the three mm* modules the seg backbone file imports.
+
+    The reference's live seg backbone
+    (dense_tasks/Segmentation/backbone/segmentation_vision_transformer_IN21K.py)
+    imports only timm symbols (covered by tests/timm_shim), the reference's
+    own models.dynamic_adapter, and three mm* touchpoints that are pure
+    infrastructure: a checkpoint loader (never called here), a logger
+    getter, and the BACKBONES registry decorator.  Pre-seeding sys.modules
+    keeps the import away from the VENDORED mmseg/mmcv_custom packages in
+    the same tree (which require the absent mmcv at import time)."""
+    if "mmcv_custom" in sys.modules:
+        return
+    mmcv_custom = types.ModuleType("mmcv_custom")
+    mmcv_custom.load_checkpoint = lambda *a, **k: None
+    sys.modules["mmcv_custom"] = mmcv_custom
+
+    import logging
+
+    mmseg = types.ModuleType("mmseg")
+    mmseg_utils = types.ModuleType("mmseg.utils")
+    mmseg_utils.get_root_logger = lambda *a, **k: logging.getLogger("mmseg")
+    mmseg_models = types.ModuleType("mmseg.models")
+    mmseg_builder = types.ModuleType("mmseg.models.builder")
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    mmseg_builder.BACKBONES = _Registry()
+    mmseg.utils = mmseg_utils
+    mmseg.models = mmseg_models
+    mmseg_models.builder = mmseg_builder
+    sys.modules["mmseg"] = mmseg
+    sys.modules["mmseg.utils"] = mmseg_utils
+    sys.modules["mmseg.models"] = mmseg_models
+    sys.modules["mmseg.models.builder"] = mmseg_builder
+
+
+def load_reference_seg_module():
+    """Import (once) the reference's live seg backbone file unmodified.
+
+    The backbone dir has no __init__.py, so the file is loaded by path
+    under a private module name; its ``models.dynamic_adapter`` import
+    resolves to the reference tree already on sys.path."""
+    if "seg_vit" not in _CACHE:
+        _install_import_environment()
+        _install_seg_import_environment()
+        import importlib.util
+
+        path = os.path.join(
+            REFERENCE_ROOT, "dense_tasks", "Segmentation", "backbone",
+            "segmentation_vision_transformer_IN21K.py")
+        spec = importlib.util.spec_from_file_location(
+            "_reference_seg_backbone", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["_reference_seg_backbone"] = mod
+        spec.loader.exec_module(mod)
+        assert mod.__file__.startswith(REFERENCE_ROOT)
+        _CACHE["seg_vit"] = mod
+    return _CACHE["seg_vit"]
+
+
+def build_reference_seg_model(*, img=512, patch=16, dim=768, depth=12,
+                              heads=12, ffn=64, out_indices=(3, 5, 7, 11),
+                              use_rel_pos_bias=True,
+                              token_target_ratio=0.5):
+    """Construct the reference seg backbone (VisionTransformer21K) exactly
+    as the mmseg config does (configs/.../our_vit.py: windowed rel-pos
+    bias, 4 FPN taps, in-backbone AdaLoss)."""
+    mod = load_reference_seg_module()
+    return mod.VisionTransformer21K(
+        img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+        num_heads=heads, num_classes=0, drop_path_rate=0.0,
+        tuning_config=make_tuning_config(ffn, dim),
+        select_config=make_select_config(token_target_ratio),
+        out_indices=list(out_indices), use_rel_pos_bias=use_rel_pos_bias)
+
+
 def make_tuning_config(ffn_num: int, d_model: int):
     """The exact tuning_config main_image.py:186-195 builds (EasyDict ->
     attribute access; SimpleNamespace is interface-equivalent)."""
@@ -223,6 +304,58 @@ def flax_to_video_sd(flat: dict, *, depth: int) -> dict:
     sd["attentive_blocks.cross_attn.proj.weight"] = \
         t[ca + ("proj", "kernel")].T
     sd["attentive_blocks.cross_attn.proj.bias"] = t[ca + ("proj", "bias")]
+    return {k: v.contiguous() for k, v in sd.items()}
+
+
+def flax_to_seg_sd(flat: dict, *, depth: int) -> dict:
+    """Map a flat flax seg-backbone tree to VisionTransformer21K's
+    state-dict layout: image-style blocks + per-block rel-pos bias table +
+    FPN deconvs.  ConvTranspose: torch weight = flax kernel
+    permute(2,3,0,1) then a spatial flip (flax conv_transpose does not
+    flip the kernel; torch's transposed conv does — layout pinned
+    empirically to 0.0 on random tensors)."""
+    t = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+         for k, v in flat.items()}
+    sd = {
+        "cls_token": t[("cls_token",)],
+        "pos_embed": t[("pos_embed",)],
+        "patch_embed.proj.weight":
+            t[("patch_embed", "proj", "kernel")].permute(3, 2, 0, 1),
+        "patch_embed.proj.bias": t[("patch_embed", "proj", "bias")],
+    }
+
+    def deconv(torch_name, flax_name):
+        sd[torch_name + ".weight"] = (
+            t[(flax_name, "kernel")].permute(2, 3, 0, 1).flip(2, 3))
+        sd[torch_name + ".bias"] = t[(flax_name, "bias")]
+
+    deconv("fpn1.0", "fpn1_deconv1")
+    deconv("fpn1.2", "fpn1_deconv2")
+    deconv("fpn2.0", "fpn2_deconv")
+
+    for i in range(depth):
+        f = (f"blocks_{i}",)
+        p = f"blocks.{i}."
+
+        def lin(name, *path):
+            sd[p + name + ".weight"] = t[f + path + ("kernel",)].T
+            sd[p + name + ".bias"] = t[f + path + ("bias",)]
+
+        def lnorm(name, *path):
+            sd[p + name + ".weight"] = t[f + path + ("scale",)]
+            sd[p + name + ".bias"] = t[f + path + ("bias",)]
+
+        lnorm("norm1", "norm1")
+        lnorm("norm2", "norm2")
+        lin("attn.qkv", "attn", "qkv")
+        lin("attn.proj", "attn", "proj")
+        lin("mlp.fc1", "mlp", "fc1")
+        lin("mlp.fc2", "mlp", "fc2")
+        lin("adaptmlp.down_proj", "adaptmlp", "down_proj")
+        lin("adaptmlp.up_proj", "adaptmlp", "up_proj")
+        lin("mlp_token_select.mlp_head", "mlp_token_select", "mlp_head")
+        sd[p + "attn.relative_position_bias_table"] = \
+            t[f + ("attn", "relative_position_bias_table")]
     return {k: v.contiguous() for k, v in sd.items()}
 
 

@@ -19,10 +19,14 @@ Covered, reference-code-executed:
     AdaLoss + reference lr_sched, composed exactly as
     engine_finetune.py:45-77 — vs our jitted train engine, term-by-term.
 
-The seg backbone (dense_tasks mmseg fork) cannot be imported the same way:
-it requires mmcv/mmseg at import time, which this sandbox doesn't have; its
-full-shape parity stays pinned by tests/test_full_scale_seg_video.py with
-the bias table cross-derived via the reference's own gather formula.
+  * seg backbone @ 512^2 full shape (windowed rel-pos bias, FPN necks,
+    in-backbone AdaLoss) — the live file
+    dense_tasks/Segmentation/backbone/segmentation_vision_transformer_IN21K.py
+    executed unmodified: its only mm* imports are a never-called checkpoint
+    loader, a logger getter, and the BACKBONES registry decorator, faked in
+    reference_oracle (the vendored mmseg packages needing mmcv stay
+    untouched) — vs our flax SegVisionTransformer AND the transcription
+    oracle's tap.
 """
 
 import numpy as np
@@ -333,3 +337,129 @@ def test_train_curve_vs_reference_code(monkeypatch):
             got_p = got_p.T
         np.testing.assert_allclose(got_p, want_p, rtol=1e-3, atol=2e-5,
                                    err_msg=name)
+
+
+@pytest.mark.fullscale
+def test_seg_full_shape_vs_reference_code():
+    """The reference's live seg backbone file, executed unmodified, vs our
+    SegVisionTransformer at the real operating shape (512^2, N=1025,
+    windowed rel-pos bias, FPN necks, in-backbone AdaLoss)."""
+    from flax import traverse_util
+
+    from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
+    from reference_oracle import build_reference_seg_model, flax_to_seg_sd
+
+    IMG, PATCH, SDIM, SDEPTH, SHEADS, SFFN, SB, SSEED = \
+        512, 16, 768, 12, 12, 64, 1, 11
+    GRID = IMG // PATCH
+    cfg = ModelConfig(img_size=IMG, patch_size=PATCH, embed_dim=SDIM,
+                      depth=SDEPTH, num_heads=SHEADS, num_classes=2)
+    model = SegVisionTransformer(cfg, tuning=TuningConfig(ffn_num=SFFN),
+                                 select=SelectConfig(), dtype=jnp.float32)
+    rs = np.random.RandomState(SSEED)
+    x = np.clip(rs.randn(SB, IMG, IMG, 3), -2.6, 2.6).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(SSEED), jnp.asarray(x))["params"]
+    # same randomization as the transcription-oracle test: router margin +
+    # live adapters + live bias tables; plus FPN deconvs off their init
+    for i in range(SDEPTH):
+        blk = params[f"blocks_{i}"]
+        blk["mlp_token_select"]["mlp_head"]["kernel"] = (
+            blk["mlp_token_select"]["mlp_head"]["kernel"] * 30.0)
+        blk["adaptmlp"]["up_proj"]["kernel"] = jnp.asarray(
+            rs.randn(SFFN, SDIM).astype(np.float32) * 0.02)
+        tbl = blk["attn"]["relative_position_bias_table"]
+        blk["attn"]["relative_position_bias_table"] = jnp.asarray(
+            rs.randn(*tbl.shape).astype(np.float32) * 0.1)
+    flat = {k: np.asarray(v)
+            for k, v in traverse_util.flatten_dict(params).items()}
+    sd = flax_to_seg_sd(flat, depth=SDEPTH)
+
+    ref = build_reference_seg_model(img=IMG, patch=PATCH, dim=SDIM,
+                                    depth=SDEPTH, heads=SHEADS, ffn=SFFN)
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    # the only absent keys may be the deterministic rel-pos index buffers
+    assert all(k.endswith("relative_position_index") for k in missing), \
+        missing
+    assert not unexpected, unexpected
+    ref = zero_adapter_dropout(ref)
+    ref.eval()
+    with torch.no_grad():
+        want_feats, want_aux = ref(
+            torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
+    want_gates = want_aux["token_select"].numpy()[..., 0]
+    want_logits = want_aux["token_logits"].numpy()[..., 0]
+    want_loss = float(want_aux["loss"])
+
+    feats, aux = model.apply({"params": params}, jnp.asarray(x))
+    gates = np.asarray(aux["token_select"])[..., 0]
+    logits = np.asarray(aux["token_logits"])[..., 0]
+
+    # Hard-gate contract at N=1025: with 12288 threshold decisions the
+    # thinnest router margins (~1e-3) sit BELOW the cross-framework fp32
+    # noise of 1025-term attention sums (~4e-3 by mid-stack), so a handful
+    # of boundary tokens may legally flip.  Every flip must be provably a
+    # boundary case in BOTH frameworks; everything else is bit-equal.
+    NOISE = 5e-3
+    flips = np.argwhere(gates != want_gates)
+    assert len(flips) <= 4, f"{len(flips)} gate flips (expected <=4)"
+    for b, l, n in flips:
+        assert abs(logits[b, l, n]) < NOISE and \
+            abs(want_logits[b, l, n]) < NOISE, (
+            "non-boundary gate flip", l, n, logits[b, l, n],
+            want_logits[b, l, n])
+    agree = (gates == want_gates).mean()
+    assert agree >= 1 - 4 / gates.size
+    assert 0.2 < gates.mean() < 0.8
+    np.testing.assert_allclose(float(aux["loss"]), want_loss, rtol=1e-3)
+
+    # feature taps: exact (1e-3*scale) where no upstream flip touches the
+    # tap; flipped tokens excluded and their attention-mixed contamination
+    # bounded at 5e-3*scale elsewhere
+    first_flip_layer = int(flips[:, 1].min()) if len(flips) else SDEPTH
+    flipped_tokens = set(int(n) for _, _, n in flips)
+    out_idx = (3, 5, 7, 11)
+    for k, (f_ours, f_want) in enumerate(zip(feats, want_feats)):
+        got = np.asarray(f_ours)
+        want = f_want.permute(0, 2, 3, 1).numpy()
+        scale = max(np.abs(want).max(), 1e-6)
+        if out_idx[k] < first_flip_layer:
+            assert np.abs(got - want).max() < 1e-3 * scale, (
+                k, np.abs(got - want).max(), scale)
+        else:
+            diff = np.abs(got - want)
+            # taps 2/3 keep the token grid (identity / 2x2 maxpool);
+            # mask the flipped tokens' grid positions there
+            if k >= 2:
+                d2 = diff.reshape(diff.shape[0], -1, diff.shape[-1])
+                grid_w = GRID if k == 2 else GRID // 2
+                keepmask = np.ones(d2.shape[1], bool)
+                for n in flipped_tokens:
+                    r, c = divmod(n, GRID)
+                    if k == 3:
+                        r, c = r // 2, c // 2
+                    keepmask[r * grid_w + c] = False
+                assert d2[:, keepmask].max() < 5e-3 * scale, (
+                    k, d2[:, keepmask].max(), scale)
+            else:
+                assert diff.max() < 5e-3 * scale, (k, diff.max(), scale)
+
+    # certify the transcription oracle's tap against reference code (same
+    # boundary-flip contract; the transcription torch side is numerically
+    # closer to the reference torch side, so require exact gates there)
+    from dynamic_tuning_tpu.models.layers import _relative_position_index
+    from torch_oracle import seg_backbone_oracle
+
+    idx, _ = _relative_position_index(GRID, GRID)
+    got_f3, got_gates, _ = seg_backbone_oracle(
+        flat, x, depth=SDEPTH, heads=SHEADS, patch=PATCH,
+        window_index=idx, tap=7)
+    ref_f3 = want_feats[2].permute(0, 2, 3, 1).numpy().reshape(
+        SB, GRID * GRID, SDIM)
+    t_flips = np.argwhere(got_gates != want_gates)
+    assert len(t_flips) <= 4, len(t_flips)
+    for b, l, n in t_flips:
+        assert abs(want_logits[b, l, n]) < NOISE
+    keep = np.ones(GRID * GRID, bool)
+    for _, _, n in t_flips:
+        keep[int(n)] = False
+    np.testing.assert_allclose(got_f3[:, keep], ref_f3[:, keep], atol=2e-3)
