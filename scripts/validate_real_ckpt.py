@@ -21,11 +21,25 @@ What it does, given the .pth:
      missing-keys set (must be exactly the adapter/router params, i.e. the
      reference's trainable set).
 
-Pass criteria (printed as JSON): rel_err <= 1e-3, argmax agreement = 1.0,
-missing == adapters+routers only.
+``--families video,seg`` additionally validates the OTHER two recipes'
+import of the SAME image checkpoint:
+  * video — reference video model ingests the raw .pth exactly as
+    main_video.py does (strict=False, head surgery); the params a video
+    run initializes fresh (adapters/routers/query token/attentive pool)
+    are overlaid from OUR imported tree so both sides share them, then
+    complete-model logits are compared on a 2-frame clip.
+  * seg — reference seg backbone ingests the raw .pth through its own
+    ``_prepare_pos_embed`` hook (torch-bicubic pos-embed resize to the
+    ``--seg_img`` grid) vs our import path's interpolation; fresh params
+    (rel-pos tables, adapters, routers, FPN) overlaid the same way; all
+    four FPN feature taps compared.
+
+Pass criteria (printed as JSON): rel_err <= 1e-3 per family, argmax
+agreement = 1.0 (image/video), missing == adapters+routers only.
 
 Run: python scripts/validate_real_ckpt.py --ckpt /ckpts/VIT_BASE_IN21K.pth
          [--images /path/to/dir] [--batch 8] [--tpu]
+         [--families image,video,seg] [--seg_img 512]
 """
 
 import argparse
@@ -49,7 +63,15 @@ def main():
                     help="run the JAX side on the default backend (TPU); "
                          "default forces CPU for an apples-to-apples fp32 "
                          "comparison")
+    ap.add_argument("--families", default="image,video,seg",
+                    help="comma list of recipes to validate the ckpt "
+                         "import for (image, video, seg)")
+    ap.add_argument("--seg_img", type=int, default=512,
+                    help="seg crop size (512 = the reference recipe; the "
+                         "224->grid pos-embed resize is exercised for any "
+                         "value != 224)")
     args = ap.parse_args()
+    families = args.families.split(",")
 
     import jax
 
@@ -159,6 +181,101 @@ def main():
         "pass": bool(rel <= 1e-3 and agree == 1.0 and trainable_only
                      and flax_missing_ok and not unexpected),
     })
+
+    from flax import traverse_util
+
+    def _flat(p):
+        return {k: np.asarray(v)
+                for k, v in traverse_util.flatten_dict(p).items()}
+
+    def _overlay_fresh(ref_model, raw_missing, full_sd):
+        """Copy OUR values for exactly the keys the raw ckpt left fresh, so
+        both frameworks share every parameter before comparing."""
+        overlay = {k: full_sd[k] for k in raw_missing if k in full_sd}
+        ref_model.load_state_dict(overlay, strict=False)
+        return sorted(k for k in raw_missing if k not in full_sd)
+
+    if "video" in families:
+        from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
+        from reference_oracle import (build_reference_video_model,
+                                      flax_to_video_sd)
+
+        T = 2
+        xv = np.stack([x, np.roll(x, 1, axis=0)], axis=1)  # [B,T,H,W,C]
+        vmodel = VideoVisionTransformer(
+            ModelConfig(num_classes=classes or 1000, num_frames=T),
+            tuning=TuningConfig(), select=SelectConfig(), dtype=jnp.float32)
+        vp = vmodel.init(jax.random.PRNGKey(0),
+                         jnp.asarray(xv[:1]))["params"]
+        vp, vmiss = import_pretrained(vp, sd)
+        vref = build_reference_video_model(classes=classes or 1000)
+        vmissing, vunexpected = vref.load_state_dict(tsd, strict=False)
+        unmapped = _overlay_fresh(vref, vmissing,
+                                  flax_to_video_sd(_flat(vp), depth=12))
+        vref.eval()
+        with torch.no_grad():
+            vwant, _ = vref(torch.from_numpy(xv).permute(
+                0, 4, 1, 2, 3).contiguous(), complete_model=True)
+        vwant = vwant.numpy()
+        vours, _ = vmodel.apply({"params": vp}, jnp.asarray(xv),
+                                complete_model=True)
+        vours = np.asarray(vours, np.float32)
+        vscale = float(np.abs(vwant).max())
+        vrel = float(np.abs(vours - vwant).max()) / max(vscale, 1e-9)
+        vagree = float((vours.argmax(-1) == vwant.argmax(-1)).mean())
+        report["video"] = {
+            "rel_err": round(vrel, 8), "argmax_agreement": vagree,
+            "unmapped_fresh_keys": unmapped,
+            "torch_unexpected": [k for k in vunexpected],
+            "pass": bool(vrel <= 1e-3 and vagree == 1.0 and not unmapped
+                         and not vunexpected),
+        }
+
+    if "seg" in families:
+        from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
+        from reference_oracle import (build_reference_seg_model,
+                                      flax_to_seg_sd)
+
+        SIMG = args.seg_img
+        xs = np.clip(rs.randn(2, SIMG, SIMG, 3), -2.6, 2.6
+                     ).astype(np.float32)
+        smodel = SegVisionTransformer(
+            ModelConfig(img_size=SIMG, num_classes=2), tuning=TuningConfig(),
+            select=SelectConfig(), dtype=jnp.float32)
+        sp = smodel.init(jax.random.PRNGKey(0),
+                         jnp.asarray(xs[:1]))["params"]
+        sp, smiss = import_pretrained(sp, sd)
+        sref = build_reference_seg_model(img=SIMG)
+        smissing, sunexpected = sref.load_state_dict(tsd, strict=False)
+        # rel-pos index buffers are deterministic constants, never in a ckpt
+        smissing = [k for k in smissing
+                    if not k.endswith("relative_position_index")]
+        unmapped = _overlay_fresh(sref, smissing,
+                                  flax_to_seg_sd(_flat(sp), depth=12))
+        # classification-only ckpt keys absent from the seg backbone
+        sunexpected = [k for k in sunexpected
+                       if k not in ("norm.weight", "norm.bias",
+                                    "head.weight", "head.bias")]
+        sref.eval()
+        with torch.no_grad():
+            swant_feats, _ = sref(torch.from_numpy(xs).permute(
+                0, 3, 1, 2).contiguous())
+        sfeats, _ = smodel.apply({"params": sp}, jnp.asarray(xs))
+        srel = 0.0
+        for f_ours, f_want in zip(sfeats, swant_feats):
+            w = f_want.permute(0, 2, 3, 1).numpy()
+            srel = max(srel, float(np.abs(np.asarray(f_ours) - w).max())
+                       / max(float(np.abs(w).max()), 1e-9))
+        report["seg"] = {
+            "feat_rel_err": round(srel, 8),
+            "unmapped_fresh_keys": unmapped,
+            "torch_unexpected": [k for k in sunexpected],
+            "pass": bool(srel <= 1e-3 and not unmapped and not sunexpected),
+        }
+
+    report["pass"] = bool(report["pass"]
+                          and report.get("video", {}).get("pass", True)
+                          and report.get("seg", {}).get("pass", True))
     print(json.dumps(report))
     return 0 if report["pass"] else 1
 

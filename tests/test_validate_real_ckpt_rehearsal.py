@@ -36,9 +36,11 @@ def test_validate_real_ckpt_rehearsal(tmp_path):
     torch.save({"model": sd}, ckpt)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # seg at 256 (not the recipe's 512) keeps the rehearsal fast while
+    # still exercising the 224->grid pos-embed resize on BOTH sides
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "validate_real_ckpt.py"),
-         "--ckpt", str(ckpt), "--batch", "2"],
+         "--ckpt", str(ckpt), "--batch", "2", "--seg_img", "256"],
         capture_output=True, text=True, timeout=900, cwd=repo)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     report = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -46,3 +48,6 @@ def test_validate_real_ckpt_rehearsal(tmp_path):
     assert report["argmax_agreement"] == 1.0
     assert report["rel_err"] <= 1e-3
     assert report["torch_missing_ok"] and report["flax_missing_ok"]
+    # all three recipes' import of the same image ckpt validate in one shot
+    assert report["video"]["pass"] and report["video"]["rel_err"] <= 1e-3
+    assert report["seg"]["pass"] and report["seg"]["feat_rel_err"] <= 1e-3
