@@ -89,10 +89,144 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--quant", default="none",
                         choices=["none", "int8", "int8_attn"],
                         help="int8 = W8A8 serving matmuls (eval paths only)")
+    add_reference_compat_args(parser)
     return parser
 
 
+#: the one model family the reference ships (vision_transformer_IN21K.py:414
+#: and video_models/video_vision_transformer_IN21K.py:512 register the same
+#: factory) — ``--model`` validates against its spellings so typos fail
+#: loudly instead of silently training the only model we have.  The
+#: reference's parser defaults ('vit_base_patch16', 'vit_base_patch16_224',
+#: main_image.py:49 / main_video.py:52) are accepted: there, --model is
+#: cosmetic (used for the logger name; the factory call is hardcoded).
+KNOWN_MODELS = ("vit_base_patch16_224_in21k", "vit_base_patch16",
+                "vit_base_patch16_224")
+
+#: launcher/torch flags with no TPU equivalent: warn when passed a
+#: non-default value, because the user expressed an intent we cannot honor.
+_IGNORED_NONDEFAULT = {
+    "device": (None, "device placement is owned by the JAX runtime"),
+    "world_size": (None, "process topology is discovered, not declared "
+                         "(parallel/multihost.py)"),
+    "local_rank": (None, "no per-process launcher; SPMD under one mesh"),
+    "dist_url": (None, "rendezvous comes from the cluster environment "
+                       "(env://-style discovery in parallel/multihost.py)"),
+}
+
+#: flags the reference DECLARES but never reads (verified by grep over
+#: /root/reference: zero ``args.<flag>`` uses outside the parser) — accepted
+#: so reference scripts run, warned about so nobody believes they did
+#: something.  --vpt is the notable one: VPT was never implemented in the
+#: reference either.
+_DEAD_IN_REFERENCE = ("global_pool", "vpt")
+
+#: dead-in-reference VALUE flags (main_video.py:117-141): warn only when
+#: passed a non-default value — the user expressed an intent neither the
+#: reference nor this framework acts on.
+_DEAD_NONDEFAULT = {
+    "drop": 0.0, "attn_drop_rate": 0.0, "init_scale": 0.001,
+    "num_segments": 1, "num_sample": 1, "crop_pct": None,
+    "short_side_size": 224, "input_size": 224,
+}
+
+
+def add_reference_compat_args(parser: argparse.ArgumentParser):
+    """Accept the rest of the reference CLI surface (main_image.py:40-131,
+    main_video.py:40-150, speed.py, main_vtab.py) so reference launch
+    scripts (train_IN21K.sh etc.) run against these entry points unchanged.
+
+    Three classes, spelled out per flag below:
+      * live — wired to our config (``--model``, ``--log_dir``,
+        ``--start_epoch``);
+      * satisfied — the requested behavior is the always-on behavior here
+        (``--cls_token``: CLS pooling is the live mode; ``--dist_eval``:
+        eval is always distributed with sentinel padding);
+      * ignored/dead — DDP-launcher concepts and flags the reference
+        declares but never reads; accepted, warned about when non-default.
+    """
+    g = parser.add_argument_group("reference compatibility")
+    g.add_argument("--model", default="vit_base_patch16_224_in21k",
+                   help="model name (validated; the reference ships exactly "
+                        "this family)")
+    g.add_argument("--log_dir", default="",
+                   help="TensorBoard event dir (reference main_image.py; "
+                        "default: output_dir)")
+    g.add_argument("--start_epoch", default=0, type=int,
+                   help="first epoch index when not resuming from a "
+                        "checkpoint (--resume restores it automatically)")
+    g.add_argument("--cls_token", action="store_true", default=True,
+                   help="satisfied: CLS pooling is the live mode (the "
+                        "reference scripts pass this)")
+    g.add_argument("--dist_eval", action="store_true",
+                   help="satisfied: eval is always distributed here "
+                        "(sentinel-padded tail batches, mesh.pad_eval_batch)")
+    g.add_argument("--pin_mem", action="store_true", default=True,
+                   help="ignored: torch DataLoader concept; host->device "
+                        "staging is owned by the runtime")
+    g.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
+    g.add_argument("--device", default=None, help="ignored (JAX runtime)")
+    g.add_argument("--world_size", default=None, type=int,
+                   help="ignored (topology discovered)")
+    g.add_argument("--local_rank", default=None, type=int,
+                   help="ignored (no launcher)")
+    g.add_argument("--dist_on_itp", action="store_true",
+                   help="ignored (no launcher)")
+    g.add_argument("--dist_url", default=None, help="ignored (no launcher)")
+    g.add_argument("--global_pool", action="store_true",
+                   help="DEAD in the reference (declared, never read; CLS "
+                        "pooling is what actually runs) — accepted + warned")
+    g.add_argument("--vpt", action="store_true",
+                   help="DEAD in the reference (VPT flags declared, never "
+                        "consumed — VPT was never implemented there) — "
+                        "accepted + warned")
+    g.add_argument("--vpt_num", default=1, type=int, help="see --vpt")
+    return parser
+
+
+def check_compat_args(args) -> None:
+    """Validate/warn on the reference-compat flags (called by
+    args_to_config; safe on Namespaces that never defined them)."""
+    import logging
+
+    log = logging.getLogger("dynamic_tuning_tpu")
+    model = getattr(args, "model", KNOWN_MODELS[0])
+    if model not in KNOWN_MODELS:
+        raise ValueError(
+            f"--model {model!r}: unknown model; the reference (and this "
+            f"framework) ships {KNOWN_MODELS} — video/seg variants are "
+            f"selected by the entry point, not the model name")
+    for flag in _DEAD_IN_REFERENCE:
+        if getattr(args, flag, False):
+            log.warning(
+                "--%s is declared but never read by the reference "
+                "(dead flag); it does nothing here either", flag)
+    for flag, (default, why) in _IGNORED_NONDEFAULT.items():
+        if getattr(args, flag, default) != default:
+            log.warning("--%s is ignored: %s", flag, why)
+    for flag, default in _DEAD_NONDEFAULT.items():
+        if getattr(args, flag, default) != default:
+            log.warning(
+                "--%s=%s has no effect: the reference declares this flag "
+                "but never reads it (dead), and so does this framework",
+                flag, getattr(args, flag))
+
+
 def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
+    check_compat_args(args)
+    # registry-key resolution, like the reference's
+    # ``CHECKPOINTS[args.finetune]`` / ``DATASETS`` dicts keyed by the
+    # CLUSTER env var (main_image.py:369-370, configs.py:4-34): --finetune
+    # VIT_BASE_IN21K and a per-dataset data_path resolve through
+    # paths.py's DYT_CLUSTER registry when they are not literal paths
+    import os as _os
+
+    from dynamic_tuning_tpu import paths as _paths
+
+    finetune = args.finetune
+    if finetune and not _os.path.exists(finetune):
+        finetune = _paths.checkpoint_path(finetune, fallback=finetune)
+    data_path = args.data_path or _paths.dataset_path(args.dataset, "")
     tuning = TuningConfig(ffn_adapt=args.ffn_adapt, ffn_num=args.ffn_num,
                           ffn_adapter_scalar=args.adapter_scalar,
                           moe_experts=args.moe_experts)
@@ -105,7 +239,7 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                         weight_decay=args.weight_decay,
                         clip_grad=args.clip_grad,
                         warmup_epochs=args.warmup_epochs, epochs=args.epochs)
-    data = DataConfig(dataset=args.dataset, data_path=args.data_path,
+    data = DataConfig(dataset=args.dataset, data_path=data_path,
                       batch_size=args.batch_size, num_workers=args.num_workers,
                       inception_norm=args.inception, no_aug=no_aug,
                       canvas=getattr(args, "canvas", None))
@@ -119,8 +253,10 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
                      seed=args.seed, output_dir=args.output_dir,
                      eval_dispatch=args.eval_dispatch,
                      eval_freq=args.eval_freq, save_freq=args.save_freq,
-                     resume=args.resume, finetune=args.finetune,
+                     resume=args.resume, finetune=finetune,
                      fulltune=args.fulltune, accum_iter=args.accum_iter,
                      compute_dtype=args.compute_dtype,
                      ckpt_backend=args.ckpt_backend,
-                     auto_remove=args.auto_remove)
+                     auto_remove=args.auto_remove,
+                     log_dir=getattr(args, "log_dir", ""),
+                     start_epoch=getattr(args, "start_epoch", 0))

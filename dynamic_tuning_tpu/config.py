@@ -196,6 +196,11 @@ class RunConfig:
     # prune superseded epoch checkpoints (reference --auto_remove,
     # misc.py:316; default ON here -- pass --no_auto_remove to keep all)
     auto_remove: bool = True
+    # TensorBoard event dir (reference --log_dir); "" = output_dir
+    log_dir: str = ""
+    # first epoch when not resuming (reference --start_epoch; --resume
+    # restores the epoch from the checkpoint and overrides this)
+    start_epoch: int = 0
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -195,6 +195,11 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
     for the train crop at proportional loader cost.
     """
     canvas = canvas or (224 if no_aug else 256)
+    # the reference's full-dataset names carry a "_full" suffix
+    # (image_datasets.py:32-96: cifar100_full, svhn_full, ...); accept them
+    # verbatim so train_IN21K.sh-style invocations work unchanged
+    if dataset.endswith("_full"):
+        dataset = dataset[: -len("_full")]
     if dataset.startswith("synthetic"):
         nc = 100
         train = SyntheticDataset(1024, canvas, nc)
@@ -204,13 +209,11 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
         return (*_pair(load_cifar100, data_path), 100, "accuracy")
     if dataset == "cifar10":
         return (*_pair(load_cifar10, data_path), 10, "accuracy")
-    # fine-grained full datasets with dedicated parsers
-    from dynamic_tuning_tpu.data.fine_grained import BUILDERS
-    if dataset in BUILDERS:
-        b = BUILDERS[dataset]
-        train, val = b(data_path, "train"), b(data_path, "test")
-        return train, val, train.num_classes, train.metric
-    # VTAB task via filelists
+    # VTAB task via filelists — tried BEFORE the full-dataset parsers so a
+    # bare overlapping name ("svhn", "dtd", "cifar", "oxford_iiit_pet")
+    # means the VTAB-1K task, exactly like the reference's dispatch
+    # (image_datasets.py:45-48 checks _DATASET_NAME before the *_full
+    # branches; full datasets are selected by their "_full" suffix)
     try:
         nc = vtab_num_classes(dataset)
         root = os.path.join(data_path, dataset)
@@ -224,6 +227,12 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
         return train, val, nc, "accuracy"
     except KeyError:
         pass
+    # fine-grained full datasets with dedicated parsers
+    from dynamic_tuning_tpu.data.fine_grained import BUILDERS
+    if dataset in BUILDERS:
+        b = BUILDERS[dataset]
+        train, val = b(data_path, "train"), b(data_path, "test")
+        return train, val, train.num_classes, train.metric
     # folder dataset (imagenet & the full fine-grained sets)
     metric = "mean_per_class_acc" if dataset in MEAN_PER_CLASS else "accuracy"
     train = ImageFolder(os.path.join(data_path, dataset, "train"),

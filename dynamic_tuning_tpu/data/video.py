@@ -410,7 +410,11 @@ def build_video_dataset(dataset: str, data_path: str, *, clip_len: int = 8,
                         test_num_crop: int = 1, spatial_size: int = 224):
     """-> (train_ds, val_ds, num_classes) (reference build_dataset,
     video_datasets/video_datasets.py:10-87: K400 rate 16, val 3 temporal x 1
-    spatial; SSv2 TSN rate 0, val 1 temporal x 3 spatial)."""
+    spatial; SSv2 TSN rate 0, val 1 temporal x 3 spatial).
+
+    Names are case-insensitive so the reference recipe spellings
+    ('K400'/'SSV2', train_video.sh) work verbatim."""
+    dataset = dataset.lower()
     if dataset.startswith("synthetic"):
         nc = 400
         return (DummyVideoDataset(256, clip_len, 256, nc),

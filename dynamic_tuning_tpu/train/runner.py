@@ -46,8 +46,9 @@ class Runner:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
         self.logger = create_logger(cfg.output_dir, jax.process_index())
-        self.writer = (TensorBoardWriter(cfg.output_dir)
-                       if cfg.output_dir and jax.process_index() == 0
+        tb_dir = cfg.log_dir or cfg.output_dir
+        self.writer = (TensorBoardWriter(tb_dir)
+                       if tb_dir and jax.process_index() == 0
                        else None)
         self.mesh = M.make_mesh(cfg.mesh.model_parallel)
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -118,7 +119,7 @@ class Runner:
                                    jax.random.fold_in(rng, 2))
         self.state = M.shard_state(self.mesh, state)
 
-        self.start_epoch = 0
+        self.start_epoch = cfg.start_epoch
         self.max_metric = 0.0
         if cfg.resume:
             self.state, last_epoch, extra = C.load_checkpoint(cfg.resume,

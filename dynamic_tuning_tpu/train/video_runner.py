@@ -102,7 +102,7 @@ class VideoRunner:
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
         self.state = M.shard_state(self.mesh, state)
-        self.start_epoch = 0
+        self.start_epoch = cfg.start_epoch
         self.max_metric = 0.0
         if cfg.resume:
             self.state, last, extra = C.load_checkpoint(cfg.resume, self.state)

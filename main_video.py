@@ -29,12 +29,30 @@ def get_args_parser():
                         help="default resolves per dataset like the "
                              "reference recipes: K400 jitter [1.0,1.15]x"
                              "crop, SSv2 random_resized_crop")
+    # reference main_video.py:117-141 declares these but never reads them
+    # (zero args.<flag> uses outside the parser) — accepted so reference
+    # launch scripts run unchanged; cli.check_compat_args warns on
+    # non-default values (see _DEAD_NONDEFAULT there)
+    dead = "dead in the reference (declared, never read); accepted + warned"
+    parser.add_argument("--linprob", default=True, help=dead)
+    parser.add_argument("--use_mean_pooling", default=True, help=dead)
+    parser.add_argument("--drop", type=float, default=0.0, help=dead)
+    parser.add_argument("--attn_drop_rate", type=float, default=0.0,
+                        help=dead)
+    parser.add_argument("--init_scale", type=float, default=0.001, help=dead)
+    parser.add_argument("--num_segments", type=int, default=1, help=dead)
+    parser.add_argument("--num_sample", type=int, default=1, help=dead)
+    parser.add_argument("--crop_pct", type=float, default=None, help=dead)
+    parser.add_argument("--short_side_size", type=int, default=224,
+                        help=dead)
+    parser.add_argument("--input_size", type=int, default=224, help=dead)
     return parser
 
 
 def build_config(args):
     cfg = args_to_config(args)
-    is_ssv2 = args.dataset in ("ssv2", "sthv2")
+    # case-insensitive: the reference scripts spell these K400 / SSV2
+    is_ssv2 = args.dataset.lower() in ("ssv2", "sthv2")
     # reference recipe defaults (video_datasets.py:20-65): K400 trains with
     # short-side scale jitter over [1.0, 1.15] x crop; SSv2 with
     # RandomResizedCrop.  Explicit --train_resize_type wins.

@@ -18,9 +18,13 @@ def get_args_parser():
     parser = argparse.ArgumentParser("DyT VTAB-1K fine-tuning", add_help=False)
     parser = add_common_args(parser)
     parser.set_defaults(lr=1e-3, weight_decay=1e-4, warmup_epochs=10,
-                        batch_size=64, ffn_num=16, adapter_scalar="1.0")
-    parser.add_argument("--task", default="cifar_vtab",
-                        help="VTAB task name, or 'all' for the 19-task sweep")
+                        batch_size=64, ffn_num=16, adapter_scalar="1.0",
+                        dataset="")
+    parser.add_argument("--task", default="",
+                        help="VTAB task name, or 'all' for the 19-task "
+                             "sweep; --dataset <task> also works (the "
+                             "reference train_vtab.sh spelling); default "
+                             "cifar_vtab")
     return parser
 
 
@@ -39,7 +43,11 @@ def run_task(args, task: str):
 def main(args):
     from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
     maybe_initialize_distributed()
-    tasks = list(VTAB_TASKS) if args.task == "all" else [args.task]
+    # the reference sweep script passes the task as --dataset
+    # (train_vtab.sh: `main_vtab.py ... --dataset $DATASET`); --task wins
+    # when both are given
+    task = args.task or args.dataset or "cifar_vtab"
+    tasks = list(VTAB_TASKS) if task == "all" else [task]
     results = {}
     for task in tasks:
         results[task] = run_task(args, task)

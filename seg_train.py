@@ -15,6 +15,17 @@ from dynamic_tuning_tpu.train.seg_runner import SegRunner
 def get_args_parser():
     p = argparse.ArgumentParser("DyT segmentation training", add_help=False)
     p = add_common_args(p)
+    # the reference CLI is an mmcv config-file front-end
+    # (tools/seg_train.sh passes `seg_train.py $CONFIG --launcher pytorch
+    # --finetune VIT_BASE_IN21K`); accept that shape: our defaults ARE
+    # our_vit.py's values, so the recipe config needs no interpretation —
+    # any OTHER config path warns that it is not read
+    p.add_argument("config", nargs="?", default="",
+                   help="mmcv config path (reference CLI compatibility); "
+                        "our_vit.py's values are the built-in defaults — "
+                        "other config files are not interpreted (warned)")
+    p.add_argument("--launcher", default="none",
+                   help="ignored (no launcher; SPMD under one mesh)")
     p.set_defaults(dataset="ade20k", batch_size=2, lr=1e-3, weight_decay=0.05,
                    drop_path=0.1)
     p.add_argument("--crop_size", type=int, default=512)
@@ -39,6 +50,12 @@ def get_args_parser():
 def main(args):
     from dynamic_tuning_tpu.parallel.multihost import maybe_initialize_distributed
     maybe_initialize_distributed()
+    if args.config and not args.config.endswith("our_vit.py"):
+        import logging
+        logging.getLogger("dynamic_tuning_tpu").warning(
+            "config file %r is NOT read: this CLI encodes the reference "
+            "recipe (our_vit.py) as its defaults — set the equivalent "
+            "flags instead", args.config)
     cfg = args_to_config(args)
     # extend (not rebuild) the CLI-derived ModelConfig so gelu_approx /
     # residual_dtype / remat / quant reach the seg path too

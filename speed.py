@@ -8,6 +8,8 @@ efficient-inference model is the capacity-bounded dispatch path
 
 import argparse
 import json
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,40 @@ def get_args_parser():
     p.add_argument("--quant", default="none",
                    choices=["none", "int8", "int8_attn"],
                    help="int8 = W8A8 serving matmuls (ops/quant.py)")
+    # the reference's speed.py reuses main_image's FULL training parser
+    # (speed.py:150), so measure_speed.sh passes training flags; accept
+    # them (no-ops for a pure timing harness) so the script runs unchanged
+    p.add_argument("--eval_ckpt", dest="ckpt", default=argparse.SUPPRESS,
+                   help="alias of --ckpt (the reference measure_speed.sh "
+                        "flag name)")
+    p.add_argument("--finetune", default="",
+                   help="pretrained ckpt (path or DYT_CLUSTER registry "
+                        "key); used when --ckpt/--eval_ckpt not given — "
+                        "weights do not change timing")
+    from dynamic_tuning_tpu.cli import add_reference_compat_args
+    add_reference_compat_args(p)
+    noop = "accepted for reference-script compatibility; no-op here"
+    p.add_argument("--epochs", default=100, type=int, help=noop)
+    p.add_argument("--accum_iter", default=1, type=int, help=noop)
+    p.add_argument("--weight_decay", default=0.01, type=float, help=noop)
+    p.add_argument("--lr", default=None, type=float, help=noop)
+    p.add_argument("--blr", default=1e-3, type=float, help=noop)
+    p.add_argument("--min_lr", default=0.0, type=float, help=noop)
+    p.add_argument("--warmup_epochs", default=20, type=float, help=noop)
+    p.add_argument("--output_dir", default="", help=noop)
+    p.add_argument("--seed", default=0, type=int, help=noop)
+    p.add_argument("--resume", default="", help=noop)
+    p.add_argument("--eval", action="store_true", help=noop)
+    p.add_argument("--num_workers", default=4, type=int, help=noop)
+    p.add_argument("--save_freq", default=1, type=int, help=noop)
+    p.add_argument("--auto_remove", action="store_true", help=noop)
+    p.add_argument("--eval_freq", default=1, type=int, help=noop)
+    p.add_argument("--dataset", default="cifar100", help=noop)
+    p.add_argument("--drop_path", default=0.0, type=float, help=noop)
+    p.add_argument("--inception", action="store_true", help=noop)
+    p.add_argument("--ffn_adapt", action="store_true", default=True,
+                   help=noop)
+    p.add_argument("--fulltune", action="store_true", help=noop)
     return p
 
 
@@ -59,11 +95,25 @@ def main(args):
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (args.batch_size, 224, 224, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
-    if args.ckpt:
-        if args.ckpt.endswith((".pth", ".pt")):
-            params, _ = C.import_pretrained(params, C.load_torch_state_dict(args.ckpt))
+    ckpt = args.ckpt or getattr(args, "finetune", "")
+    if ckpt and not os.path.exists(ckpt):
+        # registry-key resolution like the reference's CHECKPOINTS dict
+        # (configs.py:7; measure_speed.sh passes --finetune VIT_BASE_IN21K)
+        from dynamic_tuning_tpu import paths
+        resolved = paths.checkpoint_path(ckpt, fallback="")
+        if resolved:
+            ckpt = resolved
         else:
-            params = C.load_params(args.ckpt)
+            print(f"WARNING: checkpoint {ckpt!r} not found (no file, no "
+                  f"DYT_CLUSTER registry entry) — timing with random "
+                  f"weights (numerically irrelevant for throughput)",
+                  file=sys.stderr)
+            ckpt = ""
+    if ckpt:
+        if ckpt.endswith((".pth", ".pt")):
+            params, _ = C.import_pretrained(params, C.load_torch_state_dict(ckpt))
+        else:
+            params = C.load_params(ckpt)
 
     from dynamic_tuning_tpu.utils.profiling import scan_throughput
 
