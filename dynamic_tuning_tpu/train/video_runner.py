@@ -38,6 +38,13 @@ class VideoRunner:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
         self.logger = create_logger(cfg.output_dir, jax.process_index())
+        # rank-0 TB scalars, like the reference video loop
+        # (engine_finetune.py:191-197 writes loss/lr on the epoch_1000x axis
+        # through the same log_writer as the image loop)
+        from dynamic_tuning_tpu.utils.logger import TensorBoardWriter
+        tb_dir = cfg.log_dir or cfg.output_dir
+        self.writer = (TensorBoardWriter(tb_dir)
+                       if tb_dir and jax.process_index() == 0 else None)
         self.mesh = M.make_mesh(cfg.mesh.model_parallel)
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -131,7 +138,16 @@ class VideoRunner:
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         ml = MetricLogger(logger=self.logger)
+        step0 = int(self.state.step)  # one sync per epoch
+        i = 0
         pending = None
+
+        def flush(parts, step):
+            ml.update(**{k2: float(v) for k2, v in parts.items()})
+            if self.writer is not None and step % 20 == 0:
+                e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
+                self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+
         for clips, labels in ml.log_every(self.train_loader, 20,
                                           f"Epoch: [{epoch}]"):
             self.aug_rng, k = jax.random.split(self.aug_rng)
@@ -149,10 +165,11 @@ class VideoRunner:
             # flush the PREVIOUS step's scalars so one step stays in flight
             # (see Runner.train_one_epoch); meters run one step stale
             if pending is not None:
-                ml.update(**{k2: float(v) for k2, v in pending.items()})
-            pending = parts
+                flush(*pending)
+            i += 1
+            pending = (parts, step0 + i)
         if pending is not None:
-            ml.update(**{k2: float(v) for k2, v in pending.items()})
+            flush(*pending)
         return {k2: m.global_avg for k2, m in ml.meters.items()}
 
     def load_eval_checkpoint(self, path: str):

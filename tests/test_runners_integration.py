@@ -86,6 +86,10 @@ def test_video_runner_epoch(tmp_path):
     runner = VideoRunner(cfg)
     out = runner.run()
     assert "max_metric" in out
+    # the video loop writes TB scalars like the reference's
+    # (engine_finetune.py:191-197 shares log_writer with the image loop)
+    import glob
+    assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
 
 
 def test_seg_runner_short(tmp_path):
