@@ -128,6 +128,8 @@ _DEAD_NONDEFAULT = {
     "drop": 0.0, "attn_drop_rate": 0.0, "init_scale": 0.001,
     "num_segments": 1, "num_sample": 1, "crop_pct": None,
     "short_side_size": 224, "input_size": 224,
+    # default=True value flags (reference main_video.py:117,125)
+    "linprob": True, "use_mean_pooling": True,
 }
 
 
@@ -226,7 +228,20 @@ def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
     finetune = args.finetune
     if finetune and not _os.path.exists(finetune):
         finetune = _paths.checkpoint_path(finetune, fallback=finetune)
-    data_path = args.data_path or _paths.dataset_path(args.dataset, "")
+
+    def _registry_data_path(name: str) -> str:
+        # registry keys are the bare lowercase names (paths.py example,
+        # matching the reference convention of indexing DATASETS by the
+        # base name even for *_full runs, image_datasets.py:33); accept
+        # the recipe spellings K400 / SSV2 / cifar100_full here too
+        for key in (name, name.lower(),
+                    name.lower().removesuffix("_full")):
+            p = _paths.dataset_path(key, "")
+            if p:
+                return p
+        return ""
+
+    data_path = args.data_path or _registry_data_path(args.dataset)
     tuning = TuningConfig(ffn_adapt=args.ffn_adapt, ffn_num=args.ffn_num,
                           ffn_adapter_scalar=args.adapter_scalar,
                           moe_experts=args.moe_experts)

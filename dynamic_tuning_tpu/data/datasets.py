@@ -195,25 +195,18 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
     for the train crop at proportional loader cost.
     """
     canvas = canvas or (224 if no_aug else 256)
-    # the reference's full-dataset names carry a "_full" suffix
-    # (image_datasets.py:32-96: cifar100_full, svhn_full, ...); accept them
-    # verbatim so train_IN21K.sh-style invocations work unchanged
-    if dataset.endswith("_full"):
-        dataset = dataset[: -len("_full")]
     if dataset.startswith("synthetic"):
         nc = 100
         train = SyntheticDataset(1024, canvas, nc)
         val = SyntheticDataset(256, canvas, nc, seed=1)
         return train, val, nc, "accuracy"
-    if dataset == "cifar100":
-        return (*_pair(load_cifar100, data_path), 100, "accuracy")
-    if dataset == "cifar10":
-        return (*_pair(load_cifar10, data_path), 10, "accuracy")
-    # VTAB task via filelists — tried BEFORE the full-dataset parsers so a
-    # bare overlapping name ("svhn", "dtd", "cifar", "oxford_iiit_pet")
-    # means the VTAB-1K task, exactly like the reference's dispatch
-    # (image_datasets.py:45-48 checks _DATASET_NAME before the *_full
-    # branches; full datasets are selected by their "_full" suffix)
+    # VTAB task via filelists — matched on the UNSTRIPPED name and tried
+    # BEFORE the full-dataset parsers, exactly like the reference's
+    # dispatch (image_datasets.py:45-48 checks _DATASET_NAME before the
+    # *_full branches): a bare overlapping name ("svhn", "dtd", "cifar",
+    # "oxford_iiit_pet") means the VTAB-1K task, while the "_full" suffix
+    # selects the full dataset ("svhn_full" is not a VTAB name, so it
+    # falls through to the parsers below)
     try:
         nc = vtab_num_classes(dataset)
         root = os.path.join(data_path, dataset)
@@ -227,6 +220,15 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
         return train, val, nc, "accuracy"
     except KeyError:
         pass
+    # the reference's full-dataset names carry a "_full" suffix
+    # (image_datasets.py:32-96: cifar100_full, svhn_full, ...); strip it
+    # AFTER the VTAB match so reference invocations work unchanged
+    if dataset.endswith("_full"):
+        dataset = dataset[: -len("_full")]
+    if dataset == "cifar100":
+        return (*_pair(load_cifar100, data_path), 100, "accuracy")
+    if dataset == "cifar10":
+        return (*_pair(load_cifar10, data_path), 10, "accuracy")
     # fine-grained full datasets with dedicated parsers
     from dynamic_tuning_tpu.data.fine_grained import BUILDERS
     if dataset in BUILDERS:

@@ -158,9 +158,17 @@ def make_optimizer(base_lr: float, *, min_lr: float = 0.0, epochs: float = 100,
                    betas: Tuple[float, float] = (0.9, 0.999),
                    clip_grad: float | None = None,
                    layer_decay: float | None = None,
+                   start_step: int = 0,
                    params=None) -> optax.GradientTransformation:
-    sched = warmup_cosine_schedule(base_lr, min_lr, epochs, warmup_epochs,
-                                   steps_per_epoch)
+    # start_step: fast-forward the schedule for --start_epoch without
+    # --resume — the reference computes lr from the ABSOLUTE epoch number
+    # (engine_finetune.py:39 passes `epoch + i/len` into lr_sched with the
+    # loop starting at args.start_epoch), so epoch 50 of 100 must begin at
+    # the epoch-50 cosine point, not replay warmup.  Resume restores the
+    # optimizer count directly and must pass 0 here.
+    base = warmup_cosine_schedule(base_lr, min_lr, epochs, warmup_epochs,
+                                  steps_per_epoch)
+    sched = (lambda step: base(step + start_step)) if start_step else base
     tx = optax.adamw(sched, b1=betas[0], b2=betas[1], eps=1e-8,
                      weight_decay=weight_decay)
     parts = []

@@ -42,6 +42,28 @@ from dynamic_tuning_tpu.utils.meters import MetricLogger
 from dynamic_tuning_tpu.utils.metrics import mean_per_class_accuracy, topk_accuracy
 
 
+def make_tb_flush(ml: MetricLogger, writer, steps_per_epoch: int,
+                  lr_at=None):
+    """Shared pipelined metric flush for the train loops.
+
+    Materializes a completed step's scalars into the meters and, every 20
+    steps on rank 0, writes loss (and lr when ``lr_at`` is given) on the
+    reference's epoch_1000x TB axis (engine_finetune.py:95-101).  Both the
+    image and video runners call this with step i-1's parts after step i
+    is dispatched, keeping one step always in flight.
+    """
+
+    def flush(parts, step):
+        ml.update(**{k: float(v) for k, v in parts.items()})
+        if writer is not None and step % 20 == 0:
+            e1000 = int((step / max(steps_per_epoch, 1)) * 1000)
+            writer.add_scalar("loss", float(parts["loss"]), e1000)
+            if lr_at is not None:
+                writer.add_scalar("lr", float(lr_at(step)), e1000)
+
+    return flush
+
+
 class Runner:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
@@ -105,15 +127,32 @@ class Runner:
         lr = cfg.optim.absolute_lr(eff_batch)
         self.logger.info(f"effective batch {eff_batch}; actual lr {lr:.2e}")
         self.steps_per_epoch = len(self.train_loader)
-        from dynamic_tuning_tpu.train.optim import with_grad_accumulation
+        from dynamic_tuning_tpu.train.optim import (warmup_cosine_schedule,
+                                                    with_grad_accumulation)
         # MultiSteps advances the inner schedule once per applied step, so
         # the schedule sees steps_per_epoch / accum_iter steps per epoch
+        applied_per_epoch = max(self.steps_per_epoch // max(cfg.accum_iter, 1), 1)
+        # --start_epoch without --resume fast-forwards the schedule (the
+        # reference drives lr from the absolute epoch, engine_finetune.py:39
+        # with the loop starting at args.start_epoch); resume restores the
+        # optimizer count instead (pass the same --start_epoch again if the
+        # resumed run itself began mid-schedule)
+        sched_offset = (cfg.start_epoch * applied_per_epoch
+                        if cfg.start_epoch else 0)
         self.tx = with_grad_accumulation(make_optimizer(
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,
-            steps_per_epoch=max(self.steps_per_epoch // max(cfg.accum_iter, 1), 1),
+            steps_per_epoch=applied_per_epoch,
             weight_decay=cfg.optim.weight_decay, betas=cfg.optim.betas,
-            clip_grad=cfg.optim.clip_grad), cfg.accum_iter)
+            clip_grad=cfg.optim.clip_grad,
+            start_step=sched_offset), cfg.accum_iter)
+        # the same schedule, for TB lr scalars (reference
+        # engine_finetune.py:95-101 logs loss AND lr); takes RAW step counts
+        base_sched = warmup_cosine_schedule(
+            lr, cfg.optim.min_lr, cfg.optim.epochs, cfg.optim.warmup_epochs,
+            applied_per_epoch)
+        self.lr_at = lambda step: base_sched(
+            step // max(cfg.accum_iter, 1) + sched_offset)
 
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
@@ -176,12 +215,8 @@ class Runner:
         step0 = int(self.state.step)  # one sync per epoch, not per step
         pending: Optional[Tuple[Dict, int]] = None
         i = 0
-
-        def flush(parts, step):
-            ml.update(**{k: float(v) for k, v in parts.items()})
-            if self.writer is not None and step % 20 == 0:
-                e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
-                self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+        flush = make_tb_flush(ml, self.writer, self.steps_per_epoch,
+                              self.lr_at)
 
         for imgs, labels in ml.log_every(self.train_loader, 20, header):
             xb, yb = self._device_batch(imgs, labels, train=True)

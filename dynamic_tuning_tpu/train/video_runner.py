@@ -94,18 +94,28 @@ class VideoRunner:
         eff_batch = cfg.data.batch_size * cfg.accum_iter * jax.process_count()
         lr = cfg.optim.absolute_lr(eff_batch)
         self.steps_per_epoch = len(self.train_loader)
-        from dynamic_tuning_tpu.train.optim import with_grad_accumulation
+        from dynamic_tuning_tpu.train.optim import (warmup_cosine_schedule,
+                                                    with_grad_accumulation)
         # accumulate like the image Runner: the LR above is scaled by
         # accum_iter, so the optimizer must step once per accum_iter
         # micro-batches (MultiSteps), and its schedule advances per applied
         # step
+        applied_per_epoch = max(
+            self.steps_per_epoch // max(cfg.accum_iter, 1), 1)
+        sched_offset = (cfg.start_epoch * applied_per_epoch
+                        if cfg.start_epoch else 0)  # see Runner
         self.tx = with_grad_accumulation(make_optimizer(
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,
-            steps_per_epoch=max(
-                self.steps_per_epoch // max(cfg.accum_iter, 1), 1),
+            steps_per_epoch=applied_per_epoch,
             weight_decay=cfg.optim.weight_decay,
-            clip_grad=cfg.optim.clip_grad), cfg.accum_iter)
+            clip_grad=cfg.optim.clip_grad,
+            start_step=sched_offset), cfg.accum_iter)
+        base_sched = warmup_cosine_schedule(
+            lr, cfg.optim.min_lr, cfg.optim.epochs, cfg.optim.warmup_epochs,
+            applied_per_epoch)
+        self.lr_at = lambda step: base_sched(
+            step // max(cfg.accum_iter, 1) + sched_offset)
         state = create_train_state(trainable, frozen, self.tx,
                                    jax.random.fold_in(rng, 2))
         self.state = M.shard_state(self.mesh, state)
@@ -141,12 +151,9 @@ class VideoRunner:
         step0 = int(self.state.step)  # one sync per epoch
         i = 0
         pending = None
-
-        def flush(parts, step):
-            ml.update(**{k2: float(v) for k2, v in parts.items()})
-            if self.writer is not None and step % 20 == 0:
-                e1000 = int((step / max(self.steps_per_epoch, 1)) * 1000)
-                self.writer.add_scalar("loss", float(parts["loss"]), e1000)
+        from dynamic_tuning_tpu.train.runner import make_tb_flush
+        flush = make_tb_flush(ml, self.writer, self.steps_per_epoch,
+                              self.lr_at)
 
         for clips, labels in ml.log_every(self.train_loader, 20,
                                           f"Epoch: [{epoch}]"):

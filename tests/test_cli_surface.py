@@ -191,12 +191,79 @@ def test_full_suffix_dataset_names(tmp_path):
     from dynamic_tuning_tpu.data.datasets import build_image_dataset
 
     tr_full, _, nc, metric = build_image_dataset("synthetic_full", str(tmp_path))
-    assert nc == 100  # suffix stripped before dispatch
+    assert nc == 100  # suffix tolerated on the synthetic stand-in
 
     # bare "svhn" must take the VTAB branch (FileNotFound on the filelist
     # root proves the branch; the full-SVHN branch would ask for .mat files)
     with pytest.raises(FileNotFoundError, match="train800val200"):
         build_image_dataset("svhn", str(tmp_path), no_aug=True)
+
+    # "svhn_full" must NOT be swallowed by the VTAB alias after suffix
+    # stripping — it selects the full-SVHN parser (reference
+    # image_datasets.py:57-63), which asks for the .mat files
+    with pytest.raises(FileNotFoundError) as ei:
+        build_image_dataset("svhn_full", str(tmp_path))
+    assert "train800val200" not in str(ei.value)
+    assert ".mat" in str(ei.value) or "svhn" in str(ei.value).lower()
+
+    # same for dtd_full / oxford_iiit_pet_full (VTAB-overlapping names)
+    for name in ("dtd_full", "oxford_iiit_pet_full"):
+        with pytest.raises(FileNotFoundError) as ei:
+            build_image_dataset(name, str(tmp_path))
+        assert "train800val200" not in str(ei.value)
+
+
+def test_registry_accepts_recipe_spellings(tmp_path, monkeypatch):
+    """K400 / cifar100_full resolve registry entries keyed by the bare
+    lowercase names (the paths.py convention, mirroring the reference's
+    DATASETS dict indexed by base name, image_datasets.py:33)."""
+    import main_image
+    from dynamic_tuning_tpu import paths
+
+    monkeypatch.setenv("DYT_CLUSTER", "testcluster")
+    paths.register_cluster("testcluster",
+                           {"cifar100": "/data/c100", "k400": "/data/k400"},
+                           {"VIT_BASE_IN21K": "/ckpts/vit.pth"})
+    p = main_image.get_args_parser()
+    cfg = args_to_config(p.parse_args(["--dataset", "cifar100_full"]))
+    assert cfg.data.data_path == "/data/c100"
+    cfg = args_to_config(p.parse_args(["--dataset", "K400"]))
+    assert cfg.data.data_path == "/data/k400"
+    cfg = args_to_config(p.parse_args(["--finetune", "VIT_BASE_IN21K"]))
+    assert cfg.finetune == "/ckpts/vit.pth"
+
+
+def test_start_epoch_fast_forwards_lr_schedule(tmp_path):
+    """--start_epoch without --resume must begin at the absolute-epoch LR
+    point (reference lr_sched on `range(args.start_epoch, epochs)`), not
+    replay warmup from zero."""
+    import main_image
+    from dynamic_tuning_tpu.train.runner import Runner
+
+    base = ("--batch_size 32 --dataset synthetic --epochs 10 "
+            "--warmup_epochs 2 --num_workers 0 --output_dir").split()
+    p = main_image.get_args_parser()
+    r0 = Runner(args_to_config(p.parse_args(base + [str(tmp_path / "a")])))
+    r5 = Runner(args_to_config(p.parse_args(
+        base + [str(tmp_path / "b")] + ["--start_epoch", "5"])))
+    spe = r0.steps_per_epoch
+    # epoch-5 start == epoch-5 point of the plain schedule (past warmup,
+    # on the cosine), not the warmup ramp
+    assert float(r5.lr_at(0)) == pytest.approx(float(r0.lr_at(5 * spe)),
+                                               rel=1e-6)
+    assert float(r5.lr_at(0)) > float(r0.lr_at(0))
+
+
+def test_dead_value_flags_warn(caplog):
+    import logging
+    import main_video
+
+    args = main_video.get_args_parser().parse_args(
+        ["--linprob", "False", "--input_size", "256"])
+    with caplog.at_level(logging.WARNING, logger="dynamic_tuning_tpu"):
+        from dynamic_tuning_tpu.cli import check_compat_args
+        check_compat_args(args)
+    assert "--linprob" in caplog.text and "--input_size" in caplog.text
 
 
 def test_video_dataset_names_case_insensitive():
