@@ -28,6 +28,16 @@ def test_block_flops_affine_in_t():
     assert slope == F.mlp_flops_per_token(768)
 
 
+def test_get_block_flops_table_matches_closed_form():
+    """The reference-parity token-count -> GFLOPs dict (reference
+    get_block_flops keys, block_flops_dict.py:33-55) is exactly the
+    closed-form block_flops at every count."""
+    table = F.get_block_flops(T=197)
+    assert set(table) == set(range(198))
+    for t in (0, 1, 99, 197):
+        assert table[t] == F.block_flops(197, t) / 1e9
+
+
 def test_batch_select_flops_limits():
     # all gates on -> every block's MLP sees all 197 tokens
     ts_on = np.ones((2, 12, 196, 1), np.float32)
