@@ -12,10 +12,13 @@ training jit on device — zero CPU aug bottleneck, and the RNG is a JAX key so
 runs are exactly reproducible regardless of host thread scheduling.
 
 RandomResizedCrop sampling follows the torchvision/TPU-paper algorithm the
-reference uses (util/crop.py:16-42): sample area fraction in [0.08, 1] and
-log-uniform aspect in [3/4, 4/3] (10 tries, fall back to center crop); the
-resize here is PIL-bicubic-kernel cubic via one ``scale_and_translate``
-per image (reference transforms use interpolation=3 = PIL BICUBIC).
+reference uses (util/crop.py:16-42): one (area, aspect) draw, clamped dims,
+integer-uniform position; the train resample is PIL-exact crop-then-resize
+(two separable matmul passes with PIL's tap-drop border renormalization and
+per-pass uint8 rounding — ±1 vs PIL's fixed-point, pinned in
+tests/test_transforms_pil_parity.py); eval keeps full-canvas
+``scale_and_translate`` because Resize-then-CenterCrop reads beyond the
+crop window (reference transforms use interpolation=3 = PIL BICUBIC).
 """
 
 from __future__ import annotations
@@ -65,6 +68,80 @@ def _sample_crop_box(rng: jax.Array, h: int, w: int,
     return top, left, ch, cw
 
 
+def _pil_bicubic_kernel(x: jax.Array) -> jax.Array:
+    """PIL's BICUBIC resize kernel (Keys cubic, a=-0.5)."""
+    a = -0.5
+    ax = jnp.abs(x)
+    near = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    far = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return jnp.where(ax < 1.0, near, jnp.where(ax < 2.0, far, 0.0))
+
+
+def _pil_max_taps(in_size: int, out_size: int) -> int:
+    """Static tap-window size for a crop box as large as ``in_size``:
+    2*ceil(support)+3 with support = 2*max(box/out, 1) — wide enough to
+    cover the kernel's full support plus ±1 of window-placement jitter."""
+    import math
+    support = 2.0 * max(in_size / out_size, 1.0)
+    return int(math.ceil(support)) * 2 + 3
+
+
+def _pil_resample_matrix(origin, size, out_size: int, full: int) -> jax.Array:
+    """[out_size, full] separable resample matrix reproducing PIL's
+    ``crop((origin, origin+size)).resize(out_size, BICUBIC)`` along one axis.
+
+    PIL (src/libImaging/Resample.c precompute_coeffs) drops kernel taps that
+    fall outside the cropped image and RENORMALIZES the remaining weights —
+    crop-first semantics, unlike resize-then-crop which reads neighbors.
+    ``origin``/``size`` are traced integer-valued floats, so this builds the
+    matrix with static shapes: a bounded tap window + one-hot scatter into
+    canvas columns (dynamic box shapes can't be sliced under jit).
+
+    PIL windows taps by ``int(center ± support + 0.5)``, but taps at the
+    window boundary always carry zero kernel weight, so a WIDER integer
+    window masked by (a) kernel support and (b) the exact-integer crop
+    bounds [0, size) is mathematically identical — and, unlike the boundary
+    expression, has no float-threshold sensitivity (XLA duplicates
+    subexpressions across fusions with different FMA contractions, so the
+    same ``floor(center - support + 0.5)`` can evaluate to different values
+    in the tap chain vs the weight chain when it lands on an integer)."""
+    max_taps = _pil_max_taps(full, out_size)
+    scale = size / out_size
+    fs = jnp.maximum(scale, 1.0)          # filterscale: kernel widens when
+    support = 2.0 * fs                    # minifying (PIL antialias)
+    ss = 1.0 / fs
+    xx = jnp.arange(out_size, dtype=jnp.float32)
+    center = (xx + 0.5) * scale           # crop-local coordinates
+    base = jnp.floor(center) - (max_taps // 2)
+    taps = base[:, None] + jnp.arange(max_taps, dtype=jnp.float32)[None, :]
+    w = _pil_bicubic_kernel((taps - center[:, None] + 0.5) * ss)
+    w = jnp.where((taps >= 0.0) & (taps < size), w, 0.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    idx = (origin + taps).astype(jnp.int32)   # canvas columns
+    onehot = (idx[:, :, None] == jnp.arange(full)[None, None, :])
+    return jnp.sum(w[:, :, None] * onehot, axis=1)
+
+
+def _pil_resized_crop(img: jax.Array, top, left, ch, cw,
+                      out_size: int) -> jax.Array:
+    """PIL-exact (±1, fixed-point residue) crop-then-resize: the reference's
+    RandomResizedCrop calls ``F.resized_crop`` -> PIL ``crop().resize(...,
+    BICUBIC)`` (util/crop.py:16-45 + torchvision base class).  Horizontal
+    pass, per-pass uint8 round/clip (PIL's 8bpc two-pass pipeline), then
+    vertical — `tests/test_transforms_pil_parity.py` pins both passes and
+    the border renormalization against PIL itself."""
+    ay = _pil_resample_matrix(top, ch, out_size, img.shape[0])
+    ax = _pil_resample_matrix(left, cw, out_size, img.shape[1])
+    f = img.astype(jnp.float32)
+    # PIL's fixed-point accumulators round HALF-UP ((ss + half) >> bits),
+    # so use floor(x+0.5), not jnp.round (half-even) — the mismatch shows
+    # up as 2-count errors when a pass lands exactly on a .5 boundary.
+    tmp = jnp.einsum("hwc,ow->hoc", f, ax)
+    tmp = jnp.clip(jnp.floor(tmp + 0.5), 0.0, 255.0)
+    out = jnp.einsum("hoc,ph->poc", tmp, ay)
+    return jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+
+
 def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
     """Resample the [top:top+ch, left:left+cw] box to out_size^2 with a
     single fused scale_and_translate (no intermediate crop buffer).
@@ -76,11 +153,10 @@ def _resize_crop(img: jax.Array, top, left, ch, cw, out_size: int) -> jax.Array:
     center crop (scale 1, integer offsets) the kernel reduces to an exact
     crop, so eval pixels come straight from the PIL-bicubic canvas.
 
-    Known train-aug border subtlety vs torchvision: RandomResizedCrop crops
-    FIRST, so kernel taps at the box edge replicate crop-edge pixels; this
-    fused form samples the full canvas, so edge taps read the true
-    neighboring pixels instead (a <=2-px band, augmentation-time only —
-    dynamic box shapes can't be sliced under jit).
+    Used by the EVAL path only: Resize-then-CenterCrop means kernel taps
+    legitimately read the full canvas beyond the crop window, which is
+    exactly what full-canvas sampling does.  The train path uses
+    ``_pil_resized_crop`` (crop-FIRST semantics, PIL-exact borders).
 
     Known train-aug coverage difference: the reference crops the ORIGINAL
     image, while this two-step pipeline crops the square decode canvas —
@@ -103,7 +179,7 @@ def random_resized_crop(rng: jax.Array, img: jax.Array, out_size: int = 224,
                         scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> jax.Array:
     h, w = img.shape[0], img.shape[1]
     top, left, ch, cw = _sample_crop_box(rng, h, w, scale, ratio)
-    return _resize_crop(img, top, left, ch, cw, out_size)
+    return _pil_resized_crop(img, top, left, ch, cw, out_size)
 
 
 def center_crop_resize(img: jax.Array, resize_to: int = 256,
