@@ -230,10 +230,16 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
     if dataset == "cifar10":
         return (*_pair(load_cifar10, data_path), 10, "accuracy")
     # fine-grained full datasets with dedicated parsers
-    from dynamic_tuning_tpu.data.fine_grained import BUILDERS
+    from dynamic_tuning_tpu.data.fine_grained import BUILDERS, FileListDataset
     if dataset in BUILDERS:
         b = BUILDERS[dataset]
         train, val = b(data_path, "train"), b(data_path, "test")
+        # honor --canvas / no_aug for the filelist-backed builders (svhn
+        # returns an in-memory 32x32 ArrayDataset with no decode canvas)
+        for ds in (train, val):
+            if isinstance(ds, FileListDataset):
+                ds.canvas = canvas
+                ds.square = no_aug
         return train, val, train.num_classes, train.metric
     # folder dataset (imagenet & the full fine-grained sets)
     metric = "mean_per_class_acc" if dataset in MEAN_PER_CLASS else "accuracy"

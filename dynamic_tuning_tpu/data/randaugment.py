@@ -254,21 +254,34 @@ OPS: List[Tuple[str, callable]] = [
 
 
 def _magnitude(op_name: str, level: jax.Array, rng: jax.Array,
-               img_size: int) -> jax.Array:
-    """timm increasing-severity magnitude mapping per op."""
+               img_size: int, increasing: bool = True) -> jax.Array:
+    """timm magnitude mapping per op, both severity families.
+
+    ``increasing=True`` = the *_INCREASING mappings (severity grows with
+    level); ``False`` = the original TF-EfficientNet mappings where
+    Posterize/Solarize severity DEcreases with level and the enhance ops
+    sweep 0.1..1.9 unsigned (rand_augment.py:213-262).  The reference's
+    int() truncations are reproduced with floor (level >= 0)."""
     frac = level / _MAX_LEVEL
     if op_name in ("AutoContrast", "Equalize", "Invert"):
         return jnp.float32(0)
     if op_name == "Rotate":
         return _signed(rng, frac * 30.0)
     if op_name == "Posterize":
-        return 4.0 - frac * 4.0          # bits removed increases with level
+        # reference: int(frac*4) bits kept (non-inc) / 4 - int(frac*4)
+        # (inc, rand_augment.py:248-259) — the int() goes INSIDE: flooring
+        # after the subtraction keeps one bit too few at most levels
+        bits = jnp.floor(frac * 4.0)
+        return 4.0 - bits if increasing else bits
     if op_name == "Solarize":
-        return 256.0 - frac * 256.0
+        thresh = jnp.floor(frac * 256.0)
+        return 256.0 - thresh if increasing else thresh
     if op_name == "SolarizeAdd":
-        return frac * 110.0
+        return jnp.floor(frac * 110.0)
     if op_name in ("Color", "Contrast", "Brightness", "Sharpness"):
-        return 1.0 + _signed(rng, frac * 0.9)
+        if increasing:
+            return 1.0 + _signed(rng, frac * 0.9)
+        return frac * 1.8 + 0.1
     if op_name in ("ShearX", "ShearY"):
         return _signed(rng, frac * 0.3)
     if op_name in ("TranslateX", "TranslateY"):
@@ -276,17 +289,31 @@ def _magnitude(op_name: str, level: jax.Array, rng: jax.Array,
     raise KeyError(op_name)
 
 
-def parse_config(config: str) -> Tuple[float, int, float]:
-    """'rand-m7-n4-mstd0.5-inc1' -> (magnitude, num_ops, mstd)."""
-    m, n, mstd = 10.0, 2, 0.0
+def parse_config(config: str) -> Tuple[float, int, float, bool]:
+    """'rand-m7-n4-mstd0.5-inc1' -> (magnitude, num_ops, mstd, increasing).
+
+    Matches the reference parser's EXECUTED behavior
+    (rand_augment.py:505-533): any 'inc' token — including 'inc0' —
+    selects the increasing-severity transforms, because the reference
+    tests ``bool(val)`` on the token's STRING value and every non-empty
+    string is truthy.  Only a config with no inc token at all gets the
+    original mappings.  'w' (op-choice probability weights) is implemented
+    by the reference but not here, so it fails loud instead of silently
+    changing the op distribution."""
+    m, n, mstd, inc = 10.0, 2, 0.0, False
     for tok in config.split("-")[1:]:
         if tok.startswith("mstd"):
             mstd = float(tok[4:])
+        elif tok.startswith("inc"):
+            inc = True
+        elif tok.startswith("w"):
+            raise NotImplementedError(
+                f"rand-augment op-choice weights ('{tok}') not supported")
         elif tok.startswith("m"):
             m = float(re.sub("[^0-9.]", "", tok))
         elif tok.startswith("n"):
             n = int(re.sub("[^0-9]", "", tok))
-    return m, n, mstd
+    return m, n, mstd, inc
 
 
 _GEOMETRIC = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY"}
@@ -294,8 +321,14 @@ _GEOMETRIC = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY"}
 
 def rand_augment(rng: jax.Array, img: jax.Array, *, magnitude: float = 9.0,
                  num_ops: int = 2, mstd: float = 0.5,
-                 interpolation: str = "bilinear") -> jax.Array:
-    """Apply ``num_ops`` randomly-chosen ops to one HWC uint8 image.
+                 interpolation: str = "bilinear", prob: float = 0.5,
+                 increasing: bool = True) -> jax.Array:
+    """Select ``num_ops`` random ops; apply each with probability ``prob``.
+
+    The reference builds every AugmentOp with prob=0.5
+    (rand_augment.py:463) and skips the op when random() > prob (:371), so
+    'n4' applies ~2 ops in expectation — applying every selected op would
+    double the augmentation intensity.
 
     ``interpolation``: warp kernel for the geometric ops — "bilinear"
     (image default; timm mixes kernels) or "bicubic" (the video recipe's
@@ -306,21 +339,24 @@ def rand_augment(rng: jax.Array, img: jax.Array, *, magnitude: float = 9.0,
 
     def apply_one(i, carry):
         im, r = carry
-        r, r_op, r_mag, r_sign = jax.random.split(r, 4)
+        r, r_op, r_mag, r_sign, r_prob = jax.random.split(r, 5)
         op_idx = jax.random.randint(r_op, (), 0, len(OPS))
         level = magnitude + mstd * jax.random.normal(r_mag)
         level = jnp.clip(level, 0.0, _MAX_LEVEL)
 
         branches = []
         for name, fn in OPS:
-            v = _magnitude(name, level, r_sign, size)
+            v = _magnitude(name, level, r_sign, size, increasing)
             if name in _GEOMETRIC:
                 branches.append(
                     partial(lambda f, vv, x: f(x, vv, order), fn, v))
             else:
                 branches.append(partial(lambda f, vv, x: f(x, vv), fn, v))
-        im = jax.lax.switch(op_idx, branches, im)
-        return im, r
+        aug = jax.lax.cond(
+            jax.random.uniform(r_prob) <= prob,
+            lambda x: jax.lax.switch(op_idx, branches, x),
+            lambda x: x, im)
+        return aug, r
 
     out, _ = jax.lax.fori_loop(0, num_ops, apply_one, (img, rng))
     return jnp.clip(out, 0, 255)
@@ -330,10 +366,10 @@ def rand_augment_batch(rng: jax.Array, imgs: jax.Array,
                        config: str = "rand-m9-n2-mstd0.5-inc1",
                        interpolation: str = "bilinear") -> jax.Array:
     """[B,H,W,3] uint8 -> augmented uint8 (vmapped per image)."""
-    m, n, mstd = parse_config(config)
+    m, n, mstd, inc = parse_config(config)
     rngs = jax.random.split(rng, imgs.shape[0])
     fn = partial(rand_augment, magnitude=m, num_ops=n, mstd=mstd,
-                 interpolation=interpolation)
+                 interpolation=interpolation, increasing=inc)
     out = jax.vmap(fn)(rngs, imgs)
     return out.astype(jnp.uint8)
 
@@ -341,23 +377,47 @@ def rand_augment_batch(rng: jax.Array, imgs: jax.Array,
 def random_erasing(rng: jax.Array, img: jax.Array, *, prob: float = 0.25,
                    area_range=(0.02, 1 / 3), aspect_range=(0.3, 10 / 3),
                    per_pixel: bool = True) -> jax.Array:
-    """RandomErasing (reference video_datasets/random_erasing.py:38):
-    erase a random rectangle with per-pixel gaussian noise.  Normalized-space
-    input (applied after normalization, as in timm)."""
+    """RandomErasing (reference video_datasets/random_erasing.py:91-117):
+    up to 10 (area, aspect) draws, the first whose box fits STRICTLY
+    inside the image wins (h < img_h and w < img_w); its position is then
+    integer-uniform over [0, img_dim - box] INCLUSIVE, so the sampled area
+    is always fully erased — boxes never clip at borders.  Erase fill is
+    per-pixel gaussian noise; normalized-space input (applied after
+    normalization, as in timm)."""
     h, w = img.shape[0], img.shape[1]
-    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
-    area = h * w * jax.random.uniform(k1, minval=area_range[0],
-                                      maxval=area_range[1])
-    log_ar = jax.random.uniform(k2, minval=jnp.log(aspect_range[0]),
-                                maxval=jnp.log(aspect_range[1]))
-    ar = jnp.exp(log_ar)
-    eh = jnp.clip(jnp.sqrt(area * ar), 1, h).astype(jnp.int32)
-    ew = jnp.clip(jnp.sqrt(area / ar), 1, w).astype(jnp.int32)
-    top = jax.random.randint(k3, (), 0, h)
-    left = jax.random.randint(k4, (), 0, w)
+    k_loop, k_noise, k_prob = jax.random.split(rng, 3)
+
+    def try_one(i, carry):
+        found, eh, ew, top, left, key = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        area = h * w * jax.random.uniform(k1, minval=area_range[0],
+                                          maxval=area_range[1])
+        log_ar = jax.random.uniform(k2, minval=jnp.log(aspect_range[0]),
+                                    maxval=jnp.log(aspect_range[1]))
+        ar = jnp.exp(log_ar)
+        neh = jnp.round(jnp.sqrt(area * ar)).astype(jnp.int32)
+        new = jnp.round(jnp.sqrt(area / ar)).astype(jnp.int32)
+        fits = (neh < h) & (new < w)
+        # random.randint(0, n) is INCLUSIVE of n -> floor(u * (n + 1))
+        ntop = jnp.floor(jax.random.uniform(k3)
+                         * (h - neh + 1).astype(jnp.float32)).astype(jnp.int32)
+        nleft = jnp.floor(jax.random.uniform(k4)
+                          * (w - new + 1).astype(jnp.float32)).astype(jnp.int32)
+        take = fits & ~found
+        return (found | fits,
+                jnp.where(take, neh, eh), jnp.where(take, new, ew),
+                jnp.where(take, ntop, top), jnp.where(take, nleft, left),
+                key)
+
+    found, eh, ew, top, left, _ = jax.lax.fori_loop(
+        0, 10, try_one,
+        (jnp.bool_(False), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), k_loop))
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
-    box = ((yy >= top) & (yy < top + eh) & (xx >= left) & (xx < left + ew))
-    noise = jax.random.normal(k5, img.shape, img.dtype) if per_pixel else 0.0
+    box = ((yy >= top) & (yy < top + eh) & (xx >= left) & (xx < left + ew)
+           & found)
+    noise = (jax.random.normal(k_noise, img.shape, img.dtype)
+             if per_pixel else 0.0)
     erased = jnp.where(box[..., None], noise, img)
-    return jnp.where(jax.random.bernoulli(k6, prob), erased, img)
+    return jnp.where(jax.random.bernoulli(k_prob, prob), erased, img)

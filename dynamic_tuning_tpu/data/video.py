@@ -192,6 +192,14 @@ class VideoDataset:
         self.rate = sampling_rate
         self.canvas = canvas
         self.test_mode = test_mode
+        if test_mode and sampling_rate <= 0 and test_num_segment > 1:
+            # the reference asserts this outright (k400.py:227-229
+            # 'temporal multi-crop for uniform sampling is not supported')
+            # — TSN sampling has no slide window, so extra temporal views
+            # would be bit-identical duplicates that triple eval compute
+            raise ValueError(
+                "TSN (sampling_rate<=0) eval supports test_num_segment=1 "
+                f"only, got {test_num_segment}")
         self.test_num_segment = test_num_segment
         self.test_num_crop = test_num_crop
         self.num_classes = num_classes

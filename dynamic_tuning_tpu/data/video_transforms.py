@@ -59,7 +59,6 @@ def clip_uniform_crop(clip: jax.Array, *, resize_to: int, crop: int,
         if num_crops == 1:
             return (nh - crop) / 2.0, (nw - crop) / 2.0
         # wider side gets the 3 positions
-        long_extent = max(nh, nw) if isinstance(nh, float) else None
         frac = {0: 0.0, 1: 0.5, 2: 1.0}[spatial_idx]
         if W >= H:
             return (nh - crop) / 2.0, frac * (nw - crop)
@@ -211,7 +210,7 @@ def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
         if randaug is not None:
             from dynamic_tuning_tpu.data.randaugment import (parse_config,
                                                              rand_augment)
-            m, n_ops, mstd = parse_config(randaug)
+            m, n_ops, mstd, inc = parse_config(randaug)
 
             def aug_clip(r, clip):
                 # same rng for all frames -> temporally consistent ops;
@@ -219,7 +218,7 @@ def augment_clip_batch(rng: jax.Array, clips: jax.Array, *, crop: int = 224,
                 # interpolation='bicubic' (k400.py:133)
                 return jax.vmap(lambda f: rand_augment(
                     r, f, magnitude=m, num_ops=n_ops, mstd=mstd,
-                    interpolation="bicubic"))(clip)
+                    interpolation="bicubic", increasing=inc))(clip)
 
             r_ra, rng = jax.random.split(rng)
             ra_rngs = jax.random.split(r_ra, clips.shape[0])

@@ -108,3 +108,20 @@ def test_builder_dispatch(tmp_path):
     _img(str(base / "images" / "pizza/2.jpg"))
     tr, va, nc, metric = build_image_dataset("food101", str(tmp_path))
     assert nc == 1 and metric == "accuracy"
+
+
+def test_builder_dispatch_honors_canvas(tmp_path):
+    """--canvas / no_aug must reach the filelist-backed builders — they
+    construct FileListDataset with a default canvas=256 internally."""
+    base = tmp_path / "food-101"
+    (base / "meta").mkdir(parents=True)
+    (base / "meta" / "train.txt").write_text("pizza/1\n")
+    (base / "meta" / "test.txt").write_text("pizza/2\n")
+    _img(str(base / "images" / "pizza/1.jpg"))
+    _img(str(base / "images" / "pizza/2.jpg"))
+    tr, va, _, _ = build_image_dataset("food101_full", str(tmp_path),
+                                       canvas=320)
+    assert tr.canvas == 320 and va.canvas == 320 and not tr.square
+    tr, va, _, _ = build_image_dataset("food101_full", str(tmp_path),
+                                       no_aug=True)
+    assert tr.canvas == 224 and tr.square and va.square

@@ -83,8 +83,55 @@ def test_rand_augment_batch_runs_and_varies(img):
 
 
 def test_parse_config():
-    assert RA.parse_config("rand-m7-n4-mstd0.5-inc1") == (7.0, 4, 0.5)
-    assert RA.parse_config("rand-m9-mstd0.5") == (9.0, 2, 0.5)
+    assert RA.parse_config("rand-m7-n4-mstd0.5-inc1") == (7.0, 4, 0.5, True)
+    # no inc token -> original (non-increasing) mappings
+    assert RA.parse_config("rand-m9-mstd0.5") == (9.0, 2, 0.5, False)
+    # the reference tests bool("0") on the token STRING (truthy), so inc0
+    # ALSO selects the increasing transforms (rand_augment.py:521-523)
+    assert RA.parse_config("rand-m9-n2-inc0")[3] is True
+    with pytest.raises(NotImplementedError):
+        RA.parse_config("rand-m9-w0")  # op weights: reference-only feature
+
+
+def test_magnitude_families():
+    """Posterize/Solarize truncate INSIDE the mapping (reference
+    rand_augment.py:248-268) and flip direction between families."""
+    r = jax.random.PRNGKey(0)
+    # level 7 -> frac*4 = 2.8 -> inc keeps 4-2=2 bits (NOT int(4-2.8)=1)
+    assert float(RA._magnitude("Posterize", jnp.float32(7.0), r, 32,
+                               increasing=True)) == 2.0
+    assert float(RA._magnitude("Posterize", jnp.float32(7.0), r, 32,
+                               increasing=False)) == 2.0
+    # level 8 -> frac*4 = 3.2 -> inc keeps 1 bit (never 0 below level 10)
+    assert float(RA._magnitude("Posterize", jnp.float32(8.0), r, 32,
+                               increasing=True)) == 1.0
+    assert float(RA._magnitude("Solarize", jnp.float32(5.0), r, 32,
+                               increasing=True)) == 128.0
+    assert float(RA._magnitude("Solarize", jnp.float32(5.0), r, 32,
+                               increasing=False)) == 128.0
+    # non-increasing enhance sweeps 0.1..1.9 unsigned
+    v = float(RA._magnitude("Color", jnp.float32(10.0), r, 32,
+                            increasing=False))
+    assert abs(v - 1.9) < 1e-6
+
+
+def test_rand_augment_prob_half_skips_ops():
+    """Reference AugmentOps carry prob=0.5 (rand_augment.py:463): with n=4
+    some images must come through with ops skipped.  prob=0 must be the
+    identity."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    ident = RA.rand_augment(jax.random.PRNGKey(1), img, magnitude=9.0,
+                            num_ops=4, mstd=0.0, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(ident),
+                                  np.asarray(img, np.float32))
+    # with prob=0.5, across seeds at least one draw skips ALL 4 ops
+    # (p = 1/16 per seed; 64 seeds -> P(none) ~ 1.6%)... use prob small
+    # enough to make the skip-all event near-certain instead
+    near_ident = RA.rand_augment(jax.random.PRNGKey(2), img, magnitude=9.0,
+                                 num_ops=4, mstd=0.0, prob=1e-9)
+    np.testing.assert_array_equal(np.asarray(near_ident),
+                                  np.asarray(img, np.float32))
 
 
 def test_random_erasing_probability_and_box():

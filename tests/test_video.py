@@ -324,3 +324,22 @@ def test_ssv2_config_disables_mirror():
     # reference K400 recipe: short-side jitter over [1.0, 1.15] x crop
     assert cfg.data.train_resize_type == "random_short_side_scale_jitter"
     assert (cfg.data.jitter_min, cfg.data.jitter_max) == (224, 258)
+
+
+def test_tsn_eval_multi_segment_fails_loud(tmp_path):
+    """The reference asserts temporal multi-crop is unsupported for TSN
+    (rate<=0) sampling (k400.py:227-229); silent acceptance would emit
+    bit-identical duplicate views."""
+    lf = tmp_path / "list.txt"
+    import pytest
+
+    lf.write_text("a.mp4 0\n")
+    from dynamic_tuning_tpu.data.video import VideoDataset
+    with pytest.raises(ValueError, match="test_num_segment"):
+        VideoDataset(str(tmp_path), str(lf), sampling_rate=0,
+                     test_mode=True, test_num_segment=3)
+    # rate>0 multi-view and TSN single-view stay constructible
+    VideoDataset(str(tmp_path), str(lf), sampling_rate=16,
+                 test_mode=True, test_num_segment=3)
+    VideoDataset(str(tmp_path), str(lf), sampling_rate=0,
+                 test_mode=True, test_num_segment=1)
