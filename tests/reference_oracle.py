@@ -57,9 +57,89 @@ def _install_import_environment():
 _CACHE = {}
 
 
+def _install_engine_import_environment():
+    """Stubs for the import-time deps of ``engine_finetune.py`` that cannot
+    exist in this sandbox.  All three are environment shims, not reference
+    edits:
+
+    * ``torch._six`` — removed in torch>=1.13; ``misc.py:20`` takes only
+      ``inf`` from it.
+    * ``fvcore`` — ``block_flops_dict.py:2-3`` imports FlopCountAnalysis,
+      used only by the never-called ``get_base_flops``; the engine imports
+      just ``batch_select_flops`` (pure torch).
+    * ``easydict`` — ``block_flops_dict.py:8``; a faithful ~10-line
+      attr-access dict (the engine path never constructs one, but keep the
+      semantics real in case a helper does).
+    """
+    import math
+
+    if "torch._six" not in sys.modules:
+        m = types.ModuleType("torch._six")
+        m.inf = math.inf
+        sys.modules["torch._six"] = m
+    if "fvcore" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fvnn = types.ModuleType("fvcore.nn")
+
+        class _FlopCountAnalysis:  # only get_base_flops (dead here) uses it
+            def __init__(self, *a, **k):
+                raise NotImplementedError("fvcore stub: FlopCountAnalysis")
+
+        fvnn.FlopCountAnalysis = _FlopCountAnalysis
+        fv.nn = fvnn
+        sys.modules["fvcore"] = fv
+        sys.modules["fvcore.nn"] = fvnn
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, d=None, **kw):
+                super().__init__()
+                for k, v in dict(d or {}, **kw).items():
+                    self[k] = v
+
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError:
+                    raise AttributeError(name)
+
+            def __setattr__(self, name, value):
+                self[name] = value
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
+
+def load_reference_engine():
+    """Import (once) the reference's OWN train/eval engine, unmodified:
+    ``engine_finetune.py`` (train_one_epoch / evaluate / evaluate_video)
+    plus the ``misc.py`` it drives (MetricLogger, NativeScaler).
+
+    Runtime CPU-executability (verified against the files): the only CUDA
+    hard-call on the train path is ``torch.cuda.synchronize()``
+    (engine_finetune.py:84) — tests no-op it via monkeypatch;
+    ``torch.cuda.amp.autocast``/``GradScaler`` self-disable on a CPU-only
+    build (fp32 compute, identity scaling), and every other ``.cuda()``
+    sits behind ``is_dist_avail_and_initialized()`` / world-size>1 guards.
+    """
+    if "engine" not in _CACHE:
+        _install_import_environment()
+        _install_engine_import_environment()
+        import importlib
+
+        _CACHE["misc"] = importlib.import_module("misc")
+        _CACHE["engine"] = importlib.import_module("engine_finetune")
+        for key in ("misc", "engine"):
+            assert _CACHE[key].__file__.startswith(REFERENCE_ROOT), (
+                key, _CACHE[key].__file__)
+    return {k: _CACHE[k] for k in ("misc", "engine")}
+
+
 def load_reference_modules():
     """Import (once) and return the reference modules we execute."""
-    if not _CACHE:
+    if "vit" not in _CACHE:  # keyed guard: load_reference_engine also fills
+        # _CACHE, so `if not _CACHE` would wrongly skip these imports
         _install_import_environment()
         import importlib
 
