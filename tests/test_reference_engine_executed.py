@@ -163,6 +163,107 @@ def test_train_one_epoch_executed_vs_jax_engine(monkeypatch):
     assert stats["lr"] > 0 and ours["loss"] > 0
 
 
+def test_train_one_epoch_executed_accum_iter(monkeypatch):
+    """--accum_iter=2 loop semantics, reference loop executed: lr adjusted
+    only when ``i % accum == 0`` (engine_finetune.py:38-39), loss divided by
+    accum before backward (:73), optimizer stepped every accum-th micro-batch
+    (:74-79) — vs our optax.MultiSteps wrapper (train/optim.py
+    with_grad_accumulation) with the schedule advancing per APPLIED step.
+    Pins the averaged meters AND the final trainable params."""
+    from dynamic_tuning_tpu.train.engine import (create_train_state,
+                                                 make_train_step,
+                                                 model_apply_fn)
+    from dynamic_tuning_tpu.train.optim import (make_optimizer,
+                                                partition_params,
+                                                warmup_cosine_schedule,
+                                                with_grad_accumulation)
+    from dynamic_tuning_tpu.utils.meters import MetricLogger
+
+    STEPS, ACC, EPOCHS, WARMUP = 8, 2, 2.0, 0.5
+    BASE_LR, WD = 5e-3, 0.01
+    APPLIED = STEPS // ACC  # schedule steps per epoch after accumulation
+
+    rs = np.random.RandomState(31)
+    ref, model, params = _reference_image_setup(rs)
+    data = [(rs.randn(TB, TIMG, TIMG, 3).astype(np.float32),
+             rs.randint(0, TCLASSES, (TB,)).astype(np.int64))
+            for _ in range(STEPS)]
+
+    # --- JAX side ----------------------------------------------------------
+    monkeypatch.setattr(jax.random, "logistic",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    trainable, frozen = partition_params(params)
+    tx = with_grad_accumulation(
+        make_optimizer(BASE_LR, epochs=EPOCHS, warmup_epochs=WARMUP,
+                       steps_per_epoch=APPLIED, weight_decay=WD), ACC)
+    state = create_train_state(trainable, frozen, tx, jax.random.PRNGKey(7))
+    step = make_train_step(model_apply_fn(model), tx, SEL)
+    sched = warmup_cosine_schedule(BASE_LR, 0.0, EPOCHS, WARMUP, APPLIED)
+    ml = MetricLogger(logger=LOGGER)
+    for i, (x, y) in enumerate(data):
+        state, parts = step(state, jnp.asarray(x), jnp.asarray(y))
+        li = float(parts["loss"])
+        ml.update(**{k: float(v) for k, v in parts.items()
+                     if k != "keep_ratio"})
+        # mirror the reference's meter protocol exactly: the 'loss' meter is
+        # updated a SECOND time each micro-step with loss/accum_iter
+        # (engine_finetune.py:92 after :73's division), and 'lr' once with
+        # the last-adjusted value (stale on odd micro-steps)
+        ml.update(loss=li / ACC, lr=float(sched(i // ACC)))
+    ours = {k: m.global_avg for k, m in ml.meters.items()}
+
+    # --- torch side: the reference's OWN loop, accum_iter=2 ----------------
+    zero_gumbel_noise(monkeypatch)
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+    mods = load_reference_modules()
+    eng = load_reference_engine()
+    crit = mods["losses"].AdaLoss(
+        base_criterion=torch.nn.CrossEntropyLoss(),
+        token_target_ratio=SEL.token_target_ratio,
+        token_loss_ratio=SEL.token_loss_ratio,
+        token_minimal=0.0, token_minimal_weight=0.0)
+    for name, p in ref.named_parameters():
+        p.requires_grad = ("adaptmlp" in name or "mlp_token_select" in name
+                           or name.startswith("head."))
+    opt = torch.optim.AdamW(
+        [p for _, p in ref.named_parameters() if p.requires_grad],
+        lr=BASE_LR, weight_decay=WD)
+    loader = [(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(),
+               torch.from_numpy(y)) for x, y in data]
+    args = SimpleNamespace(accum_iter=ACC, lr=BASE_LR, min_lr=0.0,
+                           warmup_epochs=WARMUP, epochs=EPOCHS)
+    stats = eng["engine"].train_one_epoch(
+        ref, crit, loader, opt, torch.device("cpu"), epoch=0,
+        loss_scaler=eng["misc"].NativeScalerWithGradNormCount(),
+        max_norm=None, mixup_fn=None, log_writer=None, args=args,
+        logger=LOGGER)
+
+    for key in ("loss", "base_loss", "token_loss", "teacher_loss",
+                "distillation_loss"):
+        assert ours[key] == pytest.approx(stats[key], rel=2e-4, abs=2e-5), \
+            f"{key}: ours {ours[key]} reference-executed {stats[key]}"
+    assert ours["lr"] == pytest.approx(stats["lr"], rel=1e-6)
+
+    # final trainable params: grad-mean accumulation + step timing agree
+    ref_sd = ref.state_dict()
+    for path, v in state.trainable.items():
+        if path[0].startswith("blocks_"):
+            idx = path[0].split("_")[1]
+            tail = ".".join(path[1:-1])
+            name = (f"blocks.{idx}.{tail}."
+                    f"{'weight' if path[-1] == 'kernel' else 'bias'}")
+        elif path[0] == "head":
+            name = f"head.{'weight' if path[-1] == 'kernel' else 'bias'}"
+        else:
+            raise AssertionError(path)
+        got_p = np.asarray(v)
+        if path[-1] == "kernel":
+            got_p = got_p.T
+        np.testing.assert_allclose(got_p, ref_sd[name].numpy(),
+                                   rtol=1e-3, atol=2e-5, err_msg=name)
+
+
 # ---------------------------------------------------------------------------
 # evaluate, executed
 # ---------------------------------------------------------------------------
@@ -235,28 +336,26 @@ def test_evaluate_executed_both_metric_modes():
 # evaluate_video, executed (multi-view protocol)
 # ---------------------------------------------------------------------------
 
-def test_evaluate_video_executed_multiview():
-    """engine_finetune.evaluate_video executed: views flattened into the
-    batch, per-view logits re-chunked [B,V,-1] and MEANED before the metric
-    (engine_finetune.py:302-306) — vs our model + the same protocol our
-    video_runner.evaluate implements."""
+T_FRAMES, VCLASSES = 8, 10
+
+
+def _reference_video_setup(rs, *, dropout=None):
+    """Reference tiny video ViT + our flax twin from one flax init, with the
+    same liveness randomization the full-shape video parity test uses:
+    router margin, live adapters, attentive-pool query + qv biases."""
     from flax import traverse_util
 
     from dynamic_tuning_tpu.models.video_vit import VideoVisionTransformer
-    from dynamic_tuning_tpu.utils.metrics import topk_accuracy
 
-    T, V, VB, VCLASSES, NB = 8, 2, 2, 10, 3
     cfg = ModelConfig(img_size=TIMG, patch_size=TPATCH, embed_dim=TDIM,
                       depth=TDEPTH, num_heads=THEADS, num_classes=VCLASSES,
-                      num_frames=T)
-    model = VideoVisionTransformer(cfg, tuning=TuningConfig(ffn_num=TFFN,
-                                                            d_model=TDIM),
-                                   select=SEL, dtype=jnp.float32)
-    rs = np.random.RandomState(23)
+                      num_frames=T_FRAMES)
+    tuning = (TuningConfig(ffn_num=TFFN, d_model=TDIM) if dropout is None
+              else TuningConfig(ffn_num=TFFN, d_model=TDIM, dropout=dropout))
+    model = VideoVisionTransformer(cfg, tuning=tuning, select=SEL,
+                                   dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(23),
-                        jnp.zeros((1, T, TIMG, TIMG, 3)))["params"]
-    # same liveness randomization as the full-shape video parity test:
-    # router margin, live adapters, attentive-pool query + qv biases
+                        jnp.zeros((1, T_FRAMES, TIMG, TIMG, 3)))["params"]
     for i in range(TDEPTH):
         blk = params[f"blocks_{i}"]
         blk["mlp_token_select"]["mlp_head"]["kernel"] = (
@@ -278,6 +377,19 @@ def test_evaluate_video_executed_multiview():
         flax_to_video_sd(flat, depth=TDEPTH), strict=True)
     assert not missing and not unexpected
     zero_adapter_dropout(ref)
+    return ref, model, params
+
+
+def test_evaluate_video_executed_multiview():
+    """engine_finetune.evaluate_video executed: views flattened into the
+    batch, per-view logits re-chunked [B,V,-1] and MEANED before the metric
+    (engine_finetune.py:302-306) — vs our model + the same protocol our
+    video_runner.evaluate implements."""
+    from dynamic_tuning_tpu.utils.metrics import topk_accuracy
+
+    T, V, VB, NB = T_FRAMES, 2, 2, 3
+    rs = np.random.RandomState(23)
+    ref, model, params = _reference_video_setup(rs)
     ref.eval()
 
     batches = [(np.clip(rs.randn(VB, V, T, TIMG, TIMG, 3), -2.6, 2.6)
@@ -313,3 +425,88 @@ def test_evaluate_video_executed_multiview():
             loader, ref, torch.device("cpu"), LOGGER,
             base_flops=0.0, flops_dict=torch.zeros(4096), args=args)
     assert our_acc1 == pytest.approx(status["metric"], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# train_video_one_epoch, executed
+# ---------------------------------------------------------------------------
+
+def test_train_video_one_epoch_executed(monkeypatch):
+    """engine_finetune.train_video_one_epoch (:112-204, same composition as
+    the image loop but through the video model's tubelet stem + attentive
+    pooling) executed vs our video train engine — the exact wiring
+    video_runner uses (make_train_step + VideoRunner._trainable_pred
+    mirroring main_video.py:283-289's freeze-by-missing + head rule)."""
+    from dynamic_tuning_tpu.train.engine import (create_train_state,
+                                                 make_train_step,
+                                                 model_apply_fn)
+    from dynamic_tuning_tpu.train.optim import (make_optimizer,
+                                                partition_params,
+                                                warmup_cosine_schedule)
+    from dynamic_tuning_tpu.train.video_runner import VideoRunner
+    from dynamic_tuning_tpu.utils.meters import MetricLogger
+
+    STEPS, EPOCHS, WARMUP = 6, 2.0, 0.5
+    BASE_LR, WD, VB = 5e-3, 0.01, 4
+
+    rs = np.random.RandomState(41)
+    ref, model, params = _reference_video_setup(rs, dropout=0.0)
+    data = [(rs.randn(VB, T_FRAMES, TIMG, TIMG, 3).astype(np.float32) * 0.5,
+             rs.randint(0, VCLASSES, (VB,)).astype(np.int64))
+            for _ in range(STEPS)]
+
+    # --- JAX side: the video runner's exact train wiring -------------------
+    monkeypatch.setattr(jax.random, "logistic",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    trainable, frozen = partition_params(params, VideoRunner._trainable_pred)
+    tx = make_optimizer(BASE_LR, epochs=EPOCHS, warmup_epochs=WARMUP,
+                        steps_per_epoch=STEPS, weight_decay=WD)
+    state = create_train_state(trainable, frozen, tx, jax.random.PRNGKey(7))
+    step = make_train_step(model_apply_fn(model), tx, SEL)
+    sched = warmup_cosine_schedule(BASE_LR, 0.0, EPOCHS, WARMUP, STEPS)
+    ml = MetricLogger(logger=LOGGER)
+    for i, (x, y) in enumerate(data):
+        state, parts = step(state, jnp.asarray(x), jnp.asarray(y))
+        ml.update(lr=float(sched(i)),
+                  **{k: float(v) for k, v in parts.items()
+                     if k != "keep_ratio"})
+    ours = {k: m.global_avg for k, m in ml.meters.items()}
+
+    # --- torch side: the reference's OWN video loop, executed ---------------
+    zero_gumbel_noise(monkeypatch)
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+    mods = load_reference_modules()
+    eng = load_reference_engine()
+    crit = mods["losses"].AdaLoss(
+        base_criterion=torch.nn.CrossEntropyLoss(),
+        token_target_ratio=SEL.token_target_ratio,
+        token_loss_ratio=SEL.token_loss_ratio,
+        token_minimal=0.0, token_minimal_weight=0.0)
+    # main_video.py freeze rule: missing-from-image-ckpt keys (adapters,
+    # routers, attentive pool, query token) + head stay trainable
+    for name, p in ref.named_parameters():
+        p.requires_grad = ("adaptmlp" in name or "mlp_token_select" in name
+                           or "attentive_blocks" in name
+                           or "query_token" in name
+                           or name.startswith("head."))
+    opt = torch.optim.AdamW(
+        [p for _, p in ref.named_parameters() if p.requires_grad],
+        lr=BASE_LR, weight_decay=WD)
+    # reference video layout: [B, C, T, H, W]
+    loader = [(torch.from_numpy(x).permute(0, 4, 1, 2, 3).contiguous(),
+               torch.from_numpy(y)) for x, y in data]
+    args = SimpleNamespace(accum_iter=1, lr=BASE_LR, min_lr=0.0,
+                           warmup_epochs=WARMUP, epochs=EPOCHS)
+    ref.train(True)
+    stats = eng["engine"].train_video_one_epoch(
+        ref, crit, loader, opt, torch.device("cpu"), epoch=0,
+        loss_scaler=eng["misc"].NativeScalerWithGradNormCount(),
+        max_norm=None, mixup_fn=None, log_writer=None, args=args,
+        logger=LOGGER)
+
+    for key in ("loss", "base_loss", "token_loss", "teacher_loss",
+                "distillation_loss"):
+        assert ours[key] == pytest.approx(stats[key], rel=3e-4, abs=2e-5), \
+            f"{key}: ours {ours[key]} reference-executed {stats[key]}"
+    assert ours["lr"] == pytest.approx(stats["lr"], rel=1e-6)
