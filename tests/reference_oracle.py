@@ -5,12 +5,16 @@ tests runs through code imported unmodified from ``/root/reference``:
 ``models/vision_transformer_IN21K.py`` (model), ``models/dynamic_adapter.py``
 (Adapter/TokenSelect/gumbel), ``models/losses.py`` (AdaLoss),
 ``util/lr_sched.py`` (per-iteration schedule), and
-``video_models/video_vision_transformer_IN21K.py`` (video model).  The only
-transcribed piece is the ~15-line loss composition of
-``engine_finetune.py:45-77`` (teacher CE + batchmean log-target KL + AdamW
-step), reproduced in :class:`ReferenceTrainer` line-for-line in semantics —
-it cannot be imported because ``train_one_epoch`` hard-calls
-``torch.cuda.synchronize()`` on a CPU-only torch build.
+``video_models/video_vision_transformer_IN21K.py`` (video model).
+``engine_finetune.py`` itself (train_one_epoch / evaluate / evaluate_video,
+with ``misc.py`` and ``util/metrics.py``) is ALSO executed, via
+:func:`load_reference_engine` — its sole CUDA hard-call,
+``torch.cuda.synchronize()`` (engine_finetune.py:84), is no-opped by the
+tests at run time.  :class:`ReferenceTrainer` (a line-for-line composition
+of engine_finetune.py:45-77) remains for per-STEP trajectory tests, which
+the epoch-granularity engine API doesn't expose.  The data side executes
+``video_datasets/rand_augment.py`` and ``util/crop.py`` the same way
+(:func:`load_reference_rand_augment`, :func:`load_reference_crop`).
 
 Import prerequisites handled here:
   * ``timm`` is absent in the sandbox -> ``tests/timm_shim`` (faithful
@@ -134,6 +138,55 @@ def load_reference_engine():
             assert _CACHE[key].__file__.startswith(REFERENCE_ROOT), (
                 key, _CACHE[key].__file__)
     return {k: _CACHE[k] for k in ("misc", "engine")}
+
+
+def load_reference_rand_augment():
+    """Import (once) the reference's OWN RandAugment implementation,
+    ``video_datasets/rand_augment.py``, unmodified — pure stdlib + PIL +
+    numpy, so it executes as-is.  ``video_datasets`` has no __init__.py, so
+    the module is loaded by file path."""
+    if "rand_augment" not in _CACHE:
+        import importlib.util
+
+        path = os.path.join(REFERENCE_ROOT, "video_datasets",
+                            "rand_augment.py")
+        spec = importlib.util.spec_from_file_location(
+            "reference_rand_augment", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _CACHE["rand_augment"] = mod
+    return _CACHE["rand_augment"]
+
+
+def load_reference_crop():
+    """Import (once) the reference's ``util/crop.py`` (the BYOL single-draw
+    RandomResizedCrop that image_datasets.py:17 imports), unmodified.
+
+    torchvision is absent in this sandbox; crop.py only SUBCLASSES
+    ``transforms.RandomResizedCrop`` and overrides ``get_params`` (a
+    staticmethod using just math/PIL/torch), so a two-class shim module
+    satisfies the import without touching any executed line."""
+    if "crop" not in _CACHE:
+        _install_import_environment()
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tvt = types.ModuleType("torchvision.transforms")
+            tvf = types.ModuleType("torchvision.transforms.functional")
+
+            class RandomResizedCrop:  # bare base for crop.py:16's subclass
+                pass
+
+            tvt.RandomResizedCrop = RandomResizedCrop
+            tvt.functional = tvf
+            tv.transforms = tvt
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tvt
+            sys.modules["torchvision.transforms.functional"] = tvf
+        import importlib
+
+        _CACHE["crop"] = importlib.import_module("util.crop")
+        assert _CACHE["crop"].__file__.startswith(REFERENCE_ROOT)
+    return _CACHE["crop"]
 
 
 def load_reference_modules():

@@ -1,0 +1,203 @@
+"""Data-pipeline parity against the reference's OWN executed code.
+
+The transform tests elsewhere pin our JAX augmentation ops against PIL
+called directly from the test — a transcription of WHICH PIL call the
+reference makes.  These tests execute the reference's own files instead:
+
+  * ``video_datasets/rand_augment.py`` (pure PIL/numpy, imported unmodified
+    by file path): level->magnitude maps for every op, the config-string
+    parser (`rand_augment_transform`) including its selected transform
+    list, per-op prob/magnitude/mstd, the bool("0") 'inc0' quirk, and the
+    magnitude_std clip rule — plus the hand-written ``solarize_add`` LUT.
+  * ``util/crop.py`` (the BYOL single-draw RandomResizedCrop that
+    ``datasets/image_datasets.py:17`` imports): ``get_params`` executed with
+    both frameworks fed identical underlying uniform draws.
+
+Randomness is pinned by patching the DRAW primitives (random.random /
+random.gauss / torch uniform_/randint / jax.random.uniform+bernoulli) — no
+reference line is altered.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_tuning_tpu.data import randaugment as RA
+from dynamic_tuning_tpu.data.transforms import _sample_crop_box
+
+from reference_oracle import (load_reference_crop,
+                              load_reference_rand_augment,
+                              reference_available)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="/root/reference not present")
+
+IMG_SIZE = 32
+
+# our op name -> the reference transform name per severity family
+# (rand_augment.py:391-421; our TranslateX/Y are the Rel variants the
+# reference's _RAND_*_TRANSFORMS lists actually select)
+_REF_NAME = {
+    True: {  # increasing family (_RAND_INCREASING_TRANSFORMS)
+        "Posterize": "PosterizeIncreasing", "Solarize": "SolarizeIncreasing",
+        "Color": "ColorIncreasing", "Contrast": "ContrastIncreasing",
+        "Brightness": "BrightnessIncreasing",
+        "Sharpness": "SharpnessIncreasing",
+        "TranslateX": "TranslateXRel", "TranslateY": "TranslateYRel",
+    },
+    False: {"TranslateX": "TranslateXRel", "TranslateY": "TranslateYRel"},
+}
+
+
+def _ref_name(our_name, increasing):
+    return _REF_NAME[increasing].get(our_name, our_name)
+
+
+def test_level_to_arg_executed_all_ops(monkeypatch):
+    """Every (op, magnitude, sign) cell of our _magnitude table vs the
+    reference's executed LEVEL_TO_ARG functions (rand_augment.py:206-312).
+    Signs are driven through both branches by pinning the draw primitives:
+    reference negates when random.random() > 0.5 (:203); ours keeps the
+    positive branch when jax.random.bernoulli is True."""
+    ra = load_reference_rand_augment()
+    hparams = dict(ra._HPARAMS_DEFAULT)
+
+    for increasing in (True, False):
+        for our_name, _fn in RA.OPS:
+            ref = _ref_name(our_name, increasing)
+            level_fn = ra.LEVEL_TO_ARG[ref]
+            if level_fn is None:  # AutoContrast / Equalize / Invert
+                continue
+            for mag in range(0, 11):
+                for negate in (False, True):
+                    monkeypatch.setattr(
+                        ra.random, "random",
+                        lambda neg=negate: 1.0 if neg else 0.0)
+                    monkeypatch.setattr(
+                        jax.random, "bernoulli",
+                        lambda key, p=0.5, shape=None, neg=negate:
+                        jnp.asarray(not neg))
+                    (want,) = level_fn(float(mag), hparams)
+                    got = float(RA._magnitude(our_name, jnp.float32(mag),
+                                              jax.random.PRNGKey(0),
+                                              IMG_SIZE,
+                                              increasing=increasing))
+                    if our_name in ("TranslateX", "TranslateY"):
+                        want = want * IMG_SIZE  # ref op scales pct by size
+                    assert got == pytest.approx(want, abs=2e-5), (
+                        our_name, ref, increasing, mag, negate, got, want)
+
+
+def test_rand_augment_transform_executed_config_parity():
+    """rand_augment_transform executed (rand_augment.py:487-537) vs our
+    parse_config + OPS table, per config string: num_layers, magnitude,
+    magnitude_std, per-op prob, and the exact transform list selected —
+    including the 'inc0' quirk (bool("0") is truthy, so ANY inc token picks
+    the increasing family, which our parser mirrors)."""
+    ra = load_reference_rand_augment()
+    # reverse map: (aug_fn, level_fn) uniquely identifies a transform name
+    rev = {(ra.NAME_TO_OP[n], ra.LEVEL_TO_ARG[n]): n for n in ra.NAME_TO_OP}
+
+    for config in ("rand-m9-mstd0.5-inc1", "rand-m7-n4-mstd0.5",
+                   "rand-m5-n3-inc0", "rand-mstd1"):
+        t = ra.rand_augment_transform(config, {"img_mean": (124, 116, 104)})
+        m, n, mstd, inc = RA.parse_config(config)
+        assert t.num_layers == n, config
+        ref_names = [rev[(op.aug_fn, op.level_fn)] for op in t.ops]
+        want_names = [_ref_name(name, inc) for name, _ in RA.OPS]
+        assert sorted(ref_names) == sorted(want_names), config
+        for op in t.ops:
+            assert op.magnitude == m, config
+            assert op.prob == 0.5, config        # fixed (rand_augment.py:463)
+            assert op.magnitude_std == mstd, config
+
+
+def test_magnitude_std_clip_rule_executed(monkeypatch):
+    """AugmentOp clips the gaussian-jittered magnitude to [0, 10]
+    (rand_augment.py:374-376 ``min(_MAX_LEVEL, max(0, magnitude))``) BEFORE
+    the level map — the same clip our rand_augment applies
+    (data/randaugment.py:345).  Executed with random.gauss pinned beyond
+    both bounds."""
+    ra = load_reference_rand_augment()
+    op = ra.AugmentOp("Rotate", prob=1.0, magnitude=9,
+                      hparams={"magnitude_std": 0.5,
+                               "img_mean": (128, 128, 128)})
+    monkeypatch.setattr(ra.random, "random", lambda: 0.0)  # keep positive
+    for gauss_draw, want_deg in ((13.0, 30.0), (-2.0, 0.0), (5.0, 15.0)):
+        monkeypatch.setattr(ra.random, "gauss",
+                            lambda mu, sigma, g=gauss_draw: g)
+        captured = {}
+        monkeypatch.setattr(
+            op, "aug_fn", lambda img, *args, **kw: captured.update(a=args)
+            or img)
+        op(object())
+        assert captured["a"][0] == pytest.approx(want_deg)
+        # our pipeline clips the level identically before the map
+        monkeypatch.setattr(jax.random, "bernoulli",
+                            lambda key, p=0.5, shape=None: jnp.asarray(True))
+        ours = float(RA._magnitude("Rotate",
+                                   jnp.clip(jnp.float32(gauss_draw), 0.0,
+                                            10.0),
+                                   jax.random.PRNGKey(0), IMG_SIZE))
+        assert ours == pytest.approx(want_deg, abs=2e-5)
+
+
+def test_solarize_add_executed_pixels():
+    """solarize_add is hand-written in the reference (rand_augment.py:
+    164-176, a 256-entry LUT: +add below thresh, clipped to 255) — execute
+    it vs our vectorized op, exact."""
+    ra = load_reference_rand_augment()
+    from PIL import Image
+
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 256, (24, 24, 3), np.uint8)
+    for add in (30, 64, 110):  # ours fixes thresh=128 like the level map
+        want = np.asarray(ra.solarize_add(Image.fromarray(img), add,
+                                          thresh=128))
+        got = np.asarray(RA.solarize_add(jnp.asarray(img, jnp.float32),
+                                         jnp.float32(add)))
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+def test_random_resized_crop_get_params_executed(monkeypatch):
+    """util/crop.py get_params executed (the BYOL single-draw variant:
+    round-then-clamp dims, integer-uniform corner — crop.py:24-45) vs our
+    _sample_crop_box, both frameworks fed the same four uniform draws."""
+    crop = load_reference_crop()
+    from PIL import Image
+
+    rs = np.random.RandomState(7)
+    cases = [tuple(rs.rand(4)) for _ in range(24)]
+    cases += [(0.0, 0.0, 0.0, 0.0), (0.999999, 0.999999, 0.999999, 0.999999),
+              (0.999999, 0.0, 0.5, 0.5), (0.03, 0.999999, 0.999999, 0.0)]
+    scale, ratio = (0.08, 1.0), (3 / 4, 4 / 3)
+
+    for h, w in ((32, 32), (48, 32), (32, 48), (37, 53)):
+        img = Image.fromarray(np.zeros((h, w, 3), np.uint8))
+        for u_area, u_ratio, u_top, u_left in cases:
+            draws = [u_area, u_ratio]
+            monkeypatch.setattr(
+                torch.Tensor, "uniform_",
+                lambda self, a=0.0, b=1.0, *, generator=None:
+                self.fill_(a + draws.pop(0) * (b - a)))
+            ints = [u_top, u_left]
+            monkeypatch.setattr(
+                torch, "randint",
+                lambda low, high, size=(1,), **kw:
+                torch.tensor([int(ints.pop(0) * (high - low)) + low]))
+            i, j, ch_t, cw_t = crop.RandomResizedCrop.get_params(
+                img, scale, ratio)
+
+            us = [u_area, u_ratio, u_top, u_left]
+            monkeypatch.setattr(
+                jax.random, "uniform",
+                lambda key, shape=(), dtype=jnp.float32, minval=0.0,
+                maxval=1.0: jnp.float32(minval
+                                        + us.pop(0) * (maxval - minval)))
+            top, left, ch, cw = _sample_crop_box(
+                jax.random.PRNGKey(0), h, w, scale, ratio)
+            assert (int(top), int(left), int(ch), int(cw)) == \
+                (i, j, ch_t, cw_t), (h, w, u_area, u_ratio, u_top, u_left)
