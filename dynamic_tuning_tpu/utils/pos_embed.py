@@ -79,9 +79,17 @@ def _bicubic_grid_resize(grid: np.ndarray, gs_new: int) -> np.ndarray:
 def interpolate_pos_embed_video(pos_embed: np.ndarray, new_num_patches: int,
                                 num_frames: int, tubelet_size: int = 2,
                                 num_prefix_tokens: int = 0) -> np.ndarray:
-    """Video-tubelet pos-embed interpolation (reference util/pos_embed.py:75-104):
-    the checkpoint grid is [T//tubelet, gh, gw]; spatial dims resize bicubic,
-    the temporal dim is preserved.  new_num_patches is per-frame (gh'*gw')."""
+    """Video-tubelet pos-embed interpolation: the checkpoint grid is
+    [T//tubelet, gh, gw]; spatial dims resize bicubic per time group, the
+    temporal dim is preserved.  new_num_patches is per-frame (gh'*gw').
+
+    Deviation note: the reference's video variant (util/pos_embed.py:75-104)
+    is dead code (main_video.py:272 is commented out) and crashes when
+    executed on a real grid mismatch — it takes orig_size from the sqrt of
+    the TOTAL time*space token count (:84) but reshapes per time group
+    (:94).  Pinned by execution in
+    tests/test_reference_data_executed.py::test_video_interpolate_dead_code.
+    """
     pos_embed = np.asarray(pos_embed)
     _, t_old, dim = pos_embed.shape
     t_frames = num_frames // tubelet_size

@@ -12,6 +12,9 @@ reference makes.  These tests execute the reference's own files instead:
   * ``util/crop.py`` (the BYOL single-draw RandomResizedCrop that
     ``datasets/image_datasets.py:17`` imports): ``get_params`` executed with
     both frameworks fed identical underlying uniform draws.
+  * ``util/pos_embed.py``: the sincos generator and the image pos-embed
+    grid resize executed vs ours; the reference's VIDEO variant is executed
+    to document that it is dead code that crashes on real input.
 
 Randomness is pinned by patching the DRAW primitives (random.random /
 random.gauss / torch uniform_/randint / jax.random.uniform+bernoulli) — no
@@ -160,6 +163,102 @@ def test_solarize_add_executed_pixels():
         got = np.asarray(RA.solarize_add(jnp.asarray(img, jnp.float32),
                                          jnp.float32(add)))
         np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+def _load_reference_pos_embed(monkeypatch):
+    """util/pos_embed.py executed (numpy+torch only).  Environment shim:
+    its sincos helper uses the numpy<2 ``np.float`` alias
+    (util/pos_embed.py:55) — restored as the builtin it aliased."""
+    import importlib
+
+    from reference_oracle import _install_import_environment
+
+    monkeypatch.setattr(np, "float", float, raising=False)
+    _install_import_environment()
+    mod = importlib.import_module("util.pos_embed")
+    assert mod.__file__.startswith("/root/reference")
+    return mod
+
+
+def test_sincos_pos_embed_executed(monkeypatch):
+    """get_2d_sincos_pos_embed executed (util/pos_embed.py:20-68) vs ours,
+    with and without the zero CLS row."""
+    from dynamic_tuning_tpu.utils.pos_embed import get_2d_sincos_pos_embed
+
+    ref = _load_reference_pos_embed(monkeypatch)
+    for dim, gs, cls in ((16, 4, False), (64, 7, True), (32, 14, True)):
+        want = ref.get_2d_sincos_pos_embed(dim, gs, cls_token=cls)
+        got = get_2d_sincos_pos_embed(dim, gs, cls_token=cls)
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_interpolate_pos_embed_executed(monkeypatch):
+    """Pos-embed grid resize: image interpolate_pos_embed_ori executed
+    (util/pos_embed.py:106-127, grid 14->7, CLS row kept) vs our numpy
+    A=-0.75 implementation, which the import path (train/checkpoint.py:
+    137-139) calls live.  Note: the reference defines this but every call
+    site is commented out (main_image.py imports it at :26 and never calls
+    it; main_video.py:272 / main_vtab.py:229 are comments) — ours running
+    it on grid mismatch is a deliberate robustness extension, pinned here
+    against the executed function itself."""
+    from types import SimpleNamespace
+
+    from dynamic_tuning_tpu.utils.pos_embed import interpolate_pos_embed
+
+    ref = _load_reference_pos_embed(monkeypatch)
+    rs = np.random.RandomState(5)
+    DIM = 32
+
+    old, new = 14, 7
+    pe = rs.randn(1, 1 + old * old, DIM).astype(np.float32)
+    model = SimpleNamespace(
+        patch_embed=SimpleNamespace(num_patches=new * new),
+        pos_embed=torch.zeros(1, 1 + new * new, DIM))
+    ckpt = {"pos_embed": torch.from_numpy(pe.copy())}
+    ref.interpolate_pos_embed_ori(model, ckpt)
+    want = ckpt["pos_embed"].numpy()
+    got = interpolate_pos_embed(pe, new * new, num_prefix_tokens=1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    np.testing.assert_array_equal(got[:, 0], pe[0, 0][None])  # CLS untouched
+
+
+def test_video_interpolate_dead_code_is_broken_and_ours_works(monkeypatch):
+    """The reference's VIDEO pos-embed interpolation (util/pos_embed.py:
+    75-104) is dead code (no live call site) and, executed, CRASHES on any
+    genuine grid mismatch: it derives orig_size from the sqrt of the TOTAL
+    (time*space) token count (:84) but then reshapes per-time-group (:94) —
+    the sizes can never agree when time groups > 1.  Pinned by execution to
+    document why our interpolate_pos_embed_video deviates: it resizes each
+    time group's spatial grid, equal to the (executed-pinned) image resize
+    applied per group."""
+    from types import SimpleNamespace
+
+    from dynamic_tuning_tpu.utils.pos_embed import (
+        interpolate_pos_embed, interpolate_pos_embed_video)
+
+    ref = _load_reference_pos_embed(monkeypatch)
+    rs = np.random.RandomState(6)
+    DIM, old, new, frames, tub = 32, 14, 7, 8, 2
+    tg = frames // tub
+    pe = rs.randn(1, tg * old * old, DIM).astype(np.float32)
+    model = SimpleNamespace(
+        patch_embed=SimpleNamespace(num_patches=tg * new * new,
+                                    tubelet_size=tub),
+        pos_embed=torch.zeros(1, tg * new * new, DIM))
+    with pytest.raises(RuntimeError, match="invalid for input"):
+        ref.interpolate_pos_embed(model, {"pos_embed": torch.from_numpy(pe)},
+                                  SimpleNamespace(num_frames=frames))
+
+    got = interpolate_pos_embed_video(pe, new * new, num_frames=frames,
+                                      tubelet_size=tub, num_prefix_tokens=0)
+    assert got.shape == (1, tg * new * new, DIM)
+    # per-group equivalence with the image resize pinned above
+    for g in range(tg):
+        grp = pe[:, g * old * old:(g + 1) * old * old]
+        want_g = interpolate_pos_embed(grp, new * new, num_prefix_tokens=0)
+        np.testing.assert_allclose(
+            got[:, g * new * new:(g + 1) * new * new], want_g, atol=1e-6)
 
 
 def test_random_resized_crop_get_params_executed(monkeypatch):
