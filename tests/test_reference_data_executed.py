@@ -15,6 +15,9 @@ reference makes.  These tests execute the reference's own files instead:
   * ``util/pos_embed.py``: the sincos generator and the image pos-embed
     grid resize executed vs ours; the reference's VIDEO variant is executed
     to document that it is dead code that crashes on real input.
+  * ``video_datasets/random_erasing.py``: the 10-try box sampler executed
+    (first strictly-fitting draw wins, inclusive corner) vs our
+    lax.fori_loop port, identical draws, including the reject-redraw path.
 
 Randomness is pinned by patching the DRAW primitives (random.random /
 random.gauss / torch uniform_/randint / jax.random.uniform+bernoulli) — no
@@ -163,6 +166,85 @@ def test_solarize_add_executed_pixels():
         got = np.asarray(RA.solarize_add(jnp.asarray(img, jnp.float32),
                                          jnp.float32(add)))
         np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+def _load_reference_random_erasing():
+    """video_datasets/random_erasing.py executed (math/random/torch only;
+    file-path import — video_datasets has no __init__.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_random_erasing",
+        "/root/reference/video_datasets/random_erasing.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("case", ["first_fit", "retry"])
+def test_random_erasing_executed_box_parity(monkeypatch, case):
+    """RandomErasing._erase executed (random_erasing.py:91-117: up-to-10
+    (area, aspect) draws, first STRICTLY-fitting box wins, inclusive-range
+    integer corner) vs our lax.fori_loop port, both fed the same underlying
+    uniform draws.  The 'retry' case forces the first draw to overflow the
+    image so the reject-and-redraw path is exercised on both sides."""
+    re_mod = _load_reference_random_erasing()
+    H = W = 24
+    if case == "first_fit":
+        tries = [(0.20, 0.30, 0.40, 0.70)]      # (u_area, u_ar, u_top, u_left)
+    else:
+        # u_area=0.999 on a 24x24 image with max_area=1/3 and a tall aspect
+        # draw: h = round(sqrt(0.33*576 * ar)) with ar near max -> h >= 24
+        tries = [(0.999999, 0.999999, None, None), (0.10, 0.45, 0.25, 0.85)]
+
+    # --- reference: scripted random.uniform / random.randint ----------------
+    ref_uniforms = []
+    ref_ints = []
+    for t in tries:
+        ref_uniforms += [t[0], t[1]]
+        if t[2] is not None:
+            ref_ints += [t[2], t[3]]
+    monkeypatch.setattr(re_mod.random, "uniform",
+                        lambda a, b: a + ref_uniforms.pop(0) * (b - a))
+    monkeypatch.setattr(
+        re_mod.random, "randint",
+        lambda low, high: int(ref_ints.pop(0) * (high - low + 1)) + low)
+    monkeypatch.setattr(re_mod.random, "random", lambda: 0.0)  # prob gate on
+    # marker fill instead of gaussian noise so the erased box is readable
+    monkeypatch.setattr(
+        re_mod, "_get_pixels",
+        lambda per_pixel, rand_color, patch_size, dtype=torch.float32,
+        device="cpu": torch.full(patch_size, 777.0, dtype=dtype))
+    re = re_mod.RandomErasing(probability=1.0, mode="pixel", cube=False,
+                              device="cpu")
+    img_t = torch.zeros(3, H, W)
+    re(img_t)
+    want_mask = (img_t[0].numpy() == 777.0)
+    assert want_mask.any(), "reference erased nothing — bad test setup"
+
+    # --- ours: the same draws through jax.random ---------------------------
+    ours_uniforms = []
+    for t in tries:
+        # our loop body always draws (area, ar, top, left); the corner draws
+        # are discarded on non-fitting tries
+        ours_uniforms += [t[0], t[1], t[2] or 0.0, t[3] or 0.0]
+    ours_uniforms += [0.0, 0.0, 0.0, 0.0] * (10 - len(tries))  # no-op tail
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0:
+        jnp.float32(minval + ours_uniforms.pop(0) * (maxval - minval)))
+    # run the retry loop EAGERLY: under the real lax.fori_loop the body is
+    # traced once, so a scripted-draw patch could not feed per-try values
+    import functools
+
+    monkeypatch.setattr(
+        jax.lax, "fori_loop",
+        lambda lo, hi, body, init: functools.reduce(
+            lambda c, i: body(i, c), range(lo, hi), init))
+    out = RA.random_erasing(jax.random.PRNGKey(0),
+                            jnp.zeros((H, W, 3), jnp.float32), prob=1.0)
+    got_mask = np.asarray(out[..., 0] != 0.0)
+    np.testing.assert_array_equal(got_mask, want_mask)
 
 
 def _load_reference_pos_embed(monkeypatch):
