@@ -168,25 +168,61 @@ def load_reference_crop():
     satisfies the import without touching any executed line."""
     if "crop" not in _CACHE:
         _install_import_environment()
-        if "torchvision" not in sys.modules:
-            tv = types.ModuleType("torchvision")
-            tvt = types.ModuleType("torchvision.transforms")
-            tvf = types.ModuleType("torchvision.transforms.functional")
-
-            class RandomResizedCrop:  # bare base for crop.py:16's subclass
-                pass
-
-            tvt.RandomResizedCrop = RandomResizedCrop
-            tvt.functional = tvf
-            tv.transforms = tvt
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.transforms"] = tvt
-            sys.modules["torchvision.transforms.functional"] = tvf
+        _install_torchvision_shim()
         import importlib
 
         _CACHE["crop"] = importlib.import_module("util.crop")
         assert _CACHE["crop"].__file__.startswith(REFERENCE_ROOT)
     return _CACHE["crop"]
+
+
+def _install_torchvision_shim():
+    """torchvision is absent in this sandbox; the executed reference files
+    only need the module to EXIST (crop.py subclasses
+    transforms.RandomResizedCrop; datasets/vtab.py imports transforms and
+    never touches it on the executed paths)."""
+    if "torchvision" not in sys.modules:
+        import importlib.machinery
+
+        def _shim(name, is_pkg=False):
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(
+                name, loader=None, is_package=is_pkg)
+            if is_pkg:
+                mod.__path__ = []
+            sys.modules[name] = mod
+            return mod
+
+        tv = _shim("torchvision", is_pkg=True)
+        tvt = _shim("torchvision.transforms", is_pkg=True)
+        tvf = _shim("torchvision.transforms.functional")
+
+        class RandomResizedCrop:  # bare base for crop.py:16's subclass
+            pass
+
+        tvt.RandomResizedCrop = RandomResizedCrop
+        tvt.functional = tvf
+        tv.transforms = tvt
+
+
+def load_reference_vtab():
+    """Import (once) the reference's ``datasets/vtab.py`` unmodified: the
+    19-task registry (:8-30), get_classes_num, default_flist_reader, and
+    the ImageFilelist dataset."""
+    if "vtab" not in _CACHE:
+        _install_import_environment()
+        _install_torchvision_shim()
+        import importlib.util
+
+        # by file path: the package name "datasets" is shadowed by an
+        # installed library, and vtab.py itself has no relative imports
+        path = os.path.join(REFERENCE_ROOT, "datasets", "vtab.py")
+        spec = importlib.util.spec_from_file_location(
+            "reference_vtab", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _CACHE["vtab"] = mod
+    return _CACHE["vtab"]
 
 
 def load_reference_modules():

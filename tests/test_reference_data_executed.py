@@ -18,6 +18,8 @@ reference makes.  These tests execute the reference's own files instead:
   * ``video_datasets/random_erasing.py``: the 10-try box sampler executed
     (first strictly-fitting draw wins, inclusive corner) vs our
     lax.fori_loop port, identical draws, including the reject-redraw path.
+  * ``datasets/vtab.py``: the 19-task registry, class counts, file-list
+    reader, and ImageFilelist dataset executed vs our registry/parser.
 
 Randomness is pinned by patching the DRAW primitives (random.random /
 random.gauss / torch uniform_/randint / jax.random.uniform+bernoulli) — no
@@ -245,6 +247,52 @@ def test_random_erasing_executed_box_parity(monkeypatch, case):
                             jnp.zeros((H, W, 3), jnp.float32), prob=1.0)
     got_mask = np.asarray(out[..., 0] != 0.0)
     np.testing.assert_array_equal(got_mask, want_mask)
+
+
+def test_vtab_registry_and_filelist_executed(tmp_path):
+    """datasets/vtab.py executed: the 19-task registry + class counts
+    (:8-33) vs our VTAB_TASKS dict, and default_flist_reader/ImageFilelist
+    (:41-74) vs our parse_filelist on the same list file, with the decoded
+    sample pinned to the executed loader's RGB conversion."""
+    from PIL import Image
+
+    from dynamic_tuning_tpu.data.vtab import (ALIASES, VTAB_TASKS,
+                                              parse_filelist,
+                                              vtab_num_classes)
+    from reference_oracle import load_reference_vtab
+
+    ref = load_reference_vtab()
+
+    # registry: same tasks (4 collide with fine-grained dataset names and
+    # carry our _vtab suffix, resolved through ALIASES), same class counts
+    want = dict(zip(ref._DATASET_NAME, ref._CLASSES_NUM))
+    assert {ALIASES.get(k, k) for k in want} == set(VTAB_TASKS)
+    for task in ref._DATASET_NAME:
+        assert vtab_num_classes(task) == ref.get_classes_num(task), task
+
+    # file-list protocol: `relative/path label` lines
+    rs = np.random.RandomState(11)
+    root = tmp_path / "images"
+    root.mkdir()
+    entries = []
+    for i, lab in enumerate((3, 0, 17)):
+        arr = rs.randint(0, 256, (8, 8, 3), np.uint8)
+        name = f"img_{i}.png"
+        Image.fromarray(arr).save(root / name)
+        entries.append((name, lab))
+    flist = tmp_path / "train800.txt"
+    flist.write_text("".join(f"{n} {l}\n" for n, l in entries))
+
+    assert parse_filelist(str(flist)) == ref.default_flist_reader(str(flist))
+
+    ds = ref.ImageFilelist(root=str(root), flist=str(flist))
+    assert len(ds) == len(entries)
+    for i, (name, lab) in enumerate(entries):
+        img, target = ds[i]
+        assert target == lab
+        np.testing.assert_array_equal(
+            np.asarray(img), np.asarray(
+                Image.open(root / name).convert("RGB")))
 
 
 def _load_reference_pos_embed(monkeypatch):
