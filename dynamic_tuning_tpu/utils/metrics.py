@@ -19,17 +19,21 @@ def topk_accuracy(logits, labels, topk: Sequence[int] = (1,)):
 
 
 def mean_per_class_accuracy(logits, labels, num_classes: int) -> float:
-    """Mean per-class recall in percent (reference util/metrics.py:14-26)."""
-    pred = jnp.argmax(logits, axis=-1)
+    """Mean per-class recall in percent (reference util/metrics.py:14-26).
+
+    The reference averages recall over ALL ``num_classes`` — a class absent
+    from ``labels`` contributes 0 (tp=0 over a denominator clamped to 1,
+    util/metrics.py:24) — so an eval split missing a class lowers the
+    metric.  Matched exactly (executed-parity test in
+    tests/test_reference_optim_executed.py)."""
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
     labels = np.asarray(labels)
-    pred = np.asarray(pred)
-    accs = []
+    recall = np.zeros(num_classes, dtype=np.float64)
     for c in range(num_classes):
         mask = labels == c
-        if mask.sum() == 0:
-            continue
-        accs.append((pred[mask] == c).mean())
-    return float(np.mean(accs) * 100.0)
+        if mask.any():
+            recall[c] = (pred[mask] == c).mean()
+    return float(recall.mean() * 100.0)
 
 
 def confusion_matrix(pred: np.ndarray, label: np.ndarray,

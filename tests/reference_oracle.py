@@ -205,6 +205,25 @@ def _install_torchvision_shim():
         tv.transforms = tvt
 
 
+def load_reference_optim_utils():
+    """Import (once) the reference's optimizer utilities unmodified:
+    ``util/lars.py`` (MoCo-v3 LARS — pure torch), ``util/lr_decay.py``
+    (BEiT layer-wise lr decay — stdlib json only) and ``util/metrics.py``
+    (pure torch).  All three are 'dead utils' in the live recipes but part
+    of the component inventory (SURVEY §2d)."""
+    if "lars" not in _CACHE:
+        _install_import_environment()
+        import importlib
+
+        _CACHE["lars"] = importlib.import_module("util.lars")
+        _CACHE["lr_decay"] = importlib.import_module("util.lr_decay")
+        _CACHE["metrics"] = importlib.import_module("util.metrics")
+        for key in ("lars", "lr_decay", "metrics"):
+            assert _CACHE[key].__file__.startswith(REFERENCE_ROOT), (
+                key, _CACHE[key].__file__)
+    return {k: _CACHE[k] for k in ("lars", "lr_decay", "metrics")}
+
+
 def load_reference_vtab():
     """Import (once) the reference's ``datasets/vtab.py`` unmodified: the
     19-task registry (:8-30), get_classes_num, default_flist_reader, and
