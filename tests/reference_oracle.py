@@ -180,7 +180,10 @@ def _install_torchvision_shim():
     """torchvision is absent in this sandbox; the executed reference files
     only need the module to EXIST (crop.py subclasses
     transforms.RandomResizedCrop; datasets/vtab.py imports transforms and
-    never touches it on the executed paths)."""
+    never touches it on the executed paths).  The one symbol an EXECUTED
+    path does call is ``transforms.Compose`` (transform.py:658 wraps the
+    rand-augment callable in one), so Compose carries torchvision's real
+    apply-in-order semantics."""
     if "torchvision" not in sys.modules:
         import importlib.machinery
 
@@ -194,6 +197,7 @@ def _install_torchvision_shim():
             return mod
 
         tv = _shim("torchvision", is_pkg=True)
+        tv.__dyt_shim__ = True
         tvt = _shim("torchvision.transforms", is_pkg=True)
         tvf = _shim("torchvision.transforms.functional")
 
@@ -203,6 +207,88 @@ def _install_torchvision_shim():
         tvt.RandomResizedCrop = RandomResizedCrop
         tvt.functional = tvf
         tv.transforms = tvt
+    if getattr(sys.modules["torchvision"], "__dyt_shim__", False):
+        tvt = sys.modules["torchvision.transforms"]
+        if not hasattr(tvt, "Compose"):
+
+            class Compose:  # torchvision semantics: apply in list order
+                def __init__(self, transforms):
+                    self.transforms = list(transforms)
+
+                def __call__(self, x):
+                    for t in self.transforms:
+                        x = t(x)
+                    return x
+
+            class _DecodeOnly:  # k400.py __getitem__ only (never executed)
+                def __init__(self, *a, **k):
+                    raise RuntimeError("torchvision shim: decode-path only")
+
+            tvt.Compose = Compose
+            tvt.ToTensor = _DecodeOnly
+            tvt.ToPILImage = _DecodeOnly
+
+
+def _install_video_decode_stubs():
+    """``decord`` / ``av`` are absent in this sandbox; the executed video
+    dataset files import them at module level but only touch them inside
+    ``__getitem__``'s decode step, which no executed test path reaches.
+    The stubs fail loudly if anything ever does."""
+    import importlib.machinery
+
+    for name in ("decord", "av"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(
+                name, loader=None)
+
+            def _fail(*a, _n=name, **k):
+                raise RuntimeError(f"{_n} stub: decode paths are not "
+                                   f"executable in this sandbox")
+
+            mod.VideoReader = _fail
+            mod.open = _fail
+            sys.modules[name] = mod
+
+
+def load_reference_video_datasets():
+    """Import (once) the reference's OWN video dataset files unmodified:
+    ``video_datasets/{transform,k400,sthv2_dataset}.py``.
+
+    ``video_datasets`` has no ``__init__.py`` but its files use relative
+    imports (``.transform``, ``.random_erasing``, ``.load_binary``), so a
+    synthetic package ``reference_video_datasets`` is registered whose
+    ``__path__`` points at the reference directory — every submodule then
+    resolves to reference files, asserted below.  Import-time deps that
+    cannot exist here are stubbed (:func:`_install_video_decode_stubs`,
+    torchvision shim); pandas is real."""
+    if "k400" not in _CACHE:
+        _install_import_environment()
+        _install_torchvision_shim()
+        _install_video_decode_stubs()
+        import importlib
+        import importlib.machinery
+
+        pkgname = "reference_video_datasets"
+        if pkgname not in sys.modules:
+            pkg = types.ModuleType(pkgname)
+            path = [os.path.join(REFERENCE_ROOT, "video_datasets")]
+            spec = importlib.machinery.ModuleSpec(
+                pkgname, loader=None, is_package=True)
+            spec.submodule_search_locations = path
+            pkg.__spec__ = spec
+            pkg.__path__ = path
+            sys.modules[pkgname] = pkg
+        _CACHE["video_transform"] = importlib.import_module(
+            pkgname + ".transform")
+        _CACHE["k400"] = importlib.import_module(pkgname + ".k400")
+        _CACHE["sthv2"] = importlib.import_module(
+            pkgname + ".sthv2_dataset")
+        for key in ("video_transform", "k400", "sthv2"):
+            assert _CACHE[key].__file__.startswith(REFERENCE_ROOT), (
+                key, _CACHE[key].__file__)
+    return {"transform": _CACHE["video_transform"],
+            "k400": _CACHE["k400"], "sthv2": _CACHE["sthv2"]}
 
 
 def load_reference_optim_utils():
