@@ -246,7 +246,15 @@ def seg_loss(logits: jax.Array, aux_logits: jax.Array, labels: jax.Array,
              token_loss: jax.Array, aux_weight: float = 0.4,
              ignore_index: int = 255) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """CE(main) + 0.4*CE(aux) + token budget loss (the reference sums every
-    'loss' key, mmseg/models/segmentors/base.py _parse_losses)."""
+    'loss' key, mmseg/models/segmentors/base.py _parse_losses).
+
+    Normalization is the reference's EXECUTED semantics
+    (mmseg/models/losses/cross_entropy_loss.py:20-32 with avg_factor=None
+    -> utils.py:47-68 reduce_loss 'mean'): ignored pixels contribute 0 to
+    the numerator but STILL COUNT in the denominator — the mean is over
+    ALL pixels, not the valid ones.  (Caught by
+    tests/test_reference_seg_executed.py; dividing by valid.sum() inflates
+    the seg loss/gradients by 1/valid_fraction on ADE20K's 255 borders.)"""
 
     def ce(lg):
         lg = lg.astype(jnp.float32)
@@ -254,7 +262,7 @@ def seg_loss(logits: jax.Array, aux_logits: jax.Array, labels: jax.Array,
         safe = jnp.where(valid, labels, 0)
         logp = jax.nn.log_softmax(lg, axis=-1)
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return (nll * valid).sum() / labels.size
 
     main = ce(logits)
     aux = ce(aux_logits)

@@ -251,6 +251,121 @@ def _install_video_decode_stubs():
             sys.modules[name] = mod
 
 
+_MMCV_SHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "mmcv_shim")
+
+
+def load_reference_mmseg():
+    """Import (once) the LIVE files of the reference's vendored mmseg fork
+    unmodified: the decode heads its seg recipe builds (UPerHead + PPM,
+    FCNHead, BaseDecodeHead), their loss stack (CrossEntropyLoss +
+    weight_reduce_loss + accuracy), the resize wrapper, and the evaluation
+    metrics (intersect_and_union / eval_metrics) — i.e. everything
+    our ~700-LoC native seg reimplementation replaces on the live path
+    (models/upernet.py, utils/metrics.py).
+
+    mmcv is absent -> ``tests/mmcv_shim`` provides the handful of symbols
+    these files import (ConvModule, Registry, BaseModule, fp16 decorators),
+    see its module docstring.  The mmseg package __init__s pull in dozens
+    of dead-for-us backbones/heads with much wider mmcv surface, so the
+    needed REAL files are loaded as submodules of a synthetic ``mmseg``
+    package skeleton — every executed line still comes from
+    ``/root/reference``, asserted below."""
+    if "mmseg_uper" in _CACHE:
+        return _mmseg_dict()
+
+    if _MMCV_SHIM not in sys.path:
+        sys.path.insert(0, _MMCV_SHIM)
+    import importlib.machinery
+    import importlib.util
+
+    seg_root = os.path.join(REFERENCE_ROOT, "dense_tasks", "Segmentation",
+                            "mmseg")
+
+    def _pkg(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        spec = importlib.machinery.ModuleSpec(name, loader=None,
+                                              is_package=True)
+        spec.submodule_search_locations = []
+        mod.__spec__ = spec
+        mod.__path__ = []
+        sys.modules[name] = mod
+        return mod
+
+    def _real(dotted, relpath):
+        path = os.path.join(seg_root, relpath)
+        spec = importlib.util.spec_from_file_location(dotted, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[dotted] = mod
+        spec.loader.exec_module(mod)
+        assert mod.__file__.startswith(REFERENCE_ROOT), dotted
+        return mod
+
+    mmseg = _pkg("mmseg")
+    ops_pkg = _pkg("mmseg.ops")
+    core_pkg = _pkg("mmseg.core")
+    models_pkg = _pkg("mmseg.models")
+    losses_pkg = _pkg("mmseg.models.losses")
+    heads_pkg = _pkg("mmseg.models.decode_heads")
+
+    wrappers = _real("mmseg.ops.wrappers", "ops/wrappers.py")
+    ops_pkg.resize = wrappers.resize
+    ops_pkg.Upsample = wrappers.Upsample
+
+    def _no_sampler(cfg, context=None):
+        raise NotImplementedError(
+            "mmseg skeleton: no executed config sets a pixel sampler")
+
+    core_pkg.build_pixel_sampler = _no_sampler
+
+    builder = _real("mmseg.models.builder", "models/builder.py")
+    models_pkg.builder = builder
+
+    loss_utils = _real("mmseg.models.losses.utils",
+                       "models/losses/utils.py")
+    accuracy_mod = _real("mmseg.models.losses.accuracy",
+                         "models/losses/accuracy.py")
+    ce_mod = _real("mmseg.models.losses.cross_entropy_loss",
+                   "models/losses/cross_entropy_loss.py")
+    losses_pkg.accuracy = accuracy_mod.accuracy
+    losses_pkg.CrossEntropyLoss = ce_mod.CrossEntropyLoss
+    losses_pkg.utils = loss_utils
+
+    _real("mmseg.models.decode_heads.decode_head",
+          "models/decode_heads/decode_head.py")
+    psp = _real("mmseg.models.decode_heads.psp_head",
+                "models/decode_heads/psp_head.py")
+    fcn = _real("mmseg.models.decode_heads.fcn_head",
+                "models/decode_heads/fcn_head.py")
+    uper = _real("mmseg.models.decode_heads.uper_head",
+                 "models/decode_heads/uper_head.py")
+    metrics = _real("mmseg.core.evaluation.metrics",
+                    "core/evaluation/metrics.py")
+
+    mmseg.ops = ops_pkg
+    mmseg.core = core_pkg
+    mmseg.models = models_pkg
+
+    _CACHE["mmseg_uper"] = uper
+    _CACHE["mmseg_psp"] = psp
+    _CACHE["mmseg_fcn"] = fcn
+    _CACHE["mmseg_ce"] = ce_mod
+    _CACHE["mmseg_metrics"] = metrics
+    _CACHE["mmseg_builder"] = builder
+    _CACHE["mmseg_wrappers"] = wrappers
+    return _mmseg_dict()
+
+
+def _mmseg_dict():
+    return {"uper": _CACHE["mmseg_uper"], "psp": _CACHE["mmseg_psp"],
+            "fcn": _CACHE["mmseg_fcn"], "ce": _CACHE["mmseg_ce"],
+            "metrics": _CACHE["mmseg_metrics"],
+            "builder": _CACHE["mmseg_builder"],
+            "wrappers": _CACHE["mmseg_wrappers"]}
+
+
 def load_reference_video_datasets():
     """Import (once) the reference's OWN video dataset files unmodified:
     ``video_datasets/{transform,k400,sthv2_dataset}.py``.
