@@ -348,6 +348,16 @@ def load_reference_mmseg():
     mmseg.core = core_pkg
     mmseg.models = models_pkg
 
+    # the segmentor layer: base.py (_parse_losses, the 'sum every *loss*
+    # key' rule our seg_loss composition cites) and encoder_decoder.py
+    # (forward_train token-loss wiring, slide_inference window protocol)
+    core_utils_misc = _real("mmseg.core.utils.misc", "core/utils/misc.py")
+    core_pkg.add_prefix = core_utils_misc.add_prefix
+    _pkg("mmseg.models.segmentors")
+    base = _real("mmseg.models.segmentors.base", "models/segmentors/base.py")
+    enc_dec = _real("mmseg.models.segmentors.encoder_decoder",
+                    "models/segmentors/encoder_decoder.py")
+
     _CACHE["mmseg_uper"] = uper
     _CACHE["mmseg_psp"] = psp
     _CACHE["mmseg_fcn"] = fcn
@@ -355,6 +365,8 @@ def load_reference_mmseg():
     _CACHE["mmseg_metrics"] = metrics
     _CACHE["mmseg_builder"] = builder
     _CACHE["mmseg_wrappers"] = wrappers
+    _CACHE["mmseg_base"] = base
+    _CACHE["mmseg_encdec"] = enc_dec
     return _mmseg_dict()
 
 
@@ -363,7 +375,9 @@ def _mmseg_dict():
             "fcn": _CACHE["mmseg_fcn"], "ce": _CACHE["mmseg_ce"],
             "metrics": _CACHE["mmseg_metrics"],
             "builder": _CACHE["mmseg_builder"],
-            "wrappers": _CACHE["mmseg_wrappers"]}
+            "wrappers": _CACHE["mmseg_wrappers"],
+            "base": _CACHE["mmseg_base"],
+            "encdec": _CACHE["mmseg_encdec"]}
 
 
 def load_reference_video_datasets():

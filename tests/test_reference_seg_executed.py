@@ -275,6 +275,136 @@ def test_eval_metrics_match_executed_mmseg():
     np.testing.assert_allclose(aacc, float(ref["aAcc"]), rtol=1e-6)
 
 
+def _stub_logits_torch(img, nc):
+    """Deterministic crop->logits map, exactly replicable in jax: channel c
+    is the RGB mean rolled by c rows plus a class bias."""
+    base = img.mean(1)
+    return torch.stack([torch.roll(base, c, dims=1) + 0.1 * c
+                        for c in range(nc)], dim=1)
+
+
+def _stub_logits_jax(_params, tiles, nc):
+    base = tiles.mean(-1)
+    return jnp.stack([jnp.roll(base, c, axis=1) + 0.1 * c
+                      for c in range(nc)], axis=-1)
+
+
+@pytest.mark.parametrize("H,W,crop,stride", [
+    (130, 100, 50, 30),
+    (50, 50, 50, 30),       # single window
+    (60, 60, 50, 30),       # clamped second window (starts {0, 10})
+    (128, 96, 64, 41),      # the live 512/341 ratio scaled down
+])
+@pytest.mark.parametrize("tile_batch", [1, 3])
+def test_slide_inference_matches_executed_mmseg(H, W, crop, stride,
+                                                tile_batch):
+    """EncoderDecoder.slide_inference executed (the real grid walk, window
+    clamping, F.pad accumulation and count_mat averaging,
+    encoder_decoder.py:156-199) vs our slide_inference, both driven by the
+    same deterministic crop->logits stub.  Covers duplicate/clamped
+    windows (where averaging weights would expose any grid mismatch) and
+    our tile_batch>1 mode (must stay identical to the one-at-a-time
+    protocol).  Images >= crop only: for smaller images the reference
+    feeds the raw small patch while our static-shape pipeline pads to the
+    crop — a documented structural difference, not a live-eval case
+    (ADE20K eval resizes the short side to the crop size)."""
+    m = load_reference_mmseg()
+    NC = 5
+    rs = np.random.RandomState(H + W)
+    img = rs.randn(H, W, 3).astype(np.float32)
+
+    ed = object.__new__(m["encdec"].EncoderDecoder)
+    ed.test_cfg = type("cfg", (), {"stride": (stride, stride),
+                                   "crop_size": (crop, crop)})()
+    ed.num_classes = NC
+    ed.align_corners = False
+    ed.encode_decode = lambda im, meta: (_stub_logits_torch(im, NC), None)
+    img_t = torch.from_numpy(img).permute(2, 0, 1)[None]
+    ref, _ = m["encdec"].EncoderDecoder.slide_inference(
+        ed, img_t, [dict(ori_shape=(H, W, 3))], rescale=False)
+    ref_np = ref[0].permute(1, 2, 0).numpy()
+
+    got = UN.slide_inference(
+        lambda p, t: _stub_logits_jax(p, t, NC), None, jnp.asarray(img),
+        num_classes=NC, crop=crop, stride=stride, tile_batch=tile_batch)
+    np.testing.assert_allclose(np.asarray(got), ref_np, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_forward_train_composition_matches_executed_mmseg():
+    """The WHOLE executed train-loss chain — EncoderDecoder.forward_train
+    (token_loss wiring, encoder_decoder.py:139-155) -> heads'
+    forward_train -> losses() (internal logit->label resize) ->
+    add_prefix -> BaseSegmentor._parse_losses (sums every key containing
+    'loss', base.py:166-189) — vs our seg_loss composition
+    main + 0.4*aux + token on the same features/params."""
+    m = load_reference_mmseg()
+    NC, C, IMG = 7, 16, 64
+    rs = np.random.RandomState(23)
+    feats_np = [rs.randn(2, s, s, C).astype(np.float32)
+                for s in (16, 8, 4, 2)]
+    token_loss = 0.37
+
+    class _TestBackbone(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+
+        def forward(self, img):
+            fs = [torch.from_numpy(f).permute(0, 3, 1, 2)
+                  for f in feats_np]
+            return fs, dict(loss=torch.tensor(token_loss))
+
+    if m["builder"].BACKBONES.get("_TestBackbone") is None:
+        m["builder"].BACKBONES.register_module(module=_TestBackbone)
+
+    ed = m["encdec"].EncoderDecoder(
+        backbone=dict(type="_TestBackbone"),
+        decode_head=dict(
+            type="UPerHead", in_channels=[C] * 4, in_index=[0, 1, 2, 3],
+            pool_scales=(1, 2, 3, 6), channels=C, dropout_ratio=0.1,
+            num_classes=NC, norm_cfg=NORM_BN, align_corners=False,
+            loss_decode=dict(CE_CFG)),
+        auxiliary_head=dict(
+            type="FCNHead", in_channels=C, in_index=2, channels=C,
+            num_convs=1, concat_input=False, dropout_ratio=0.1,
+            num_classes=NC, norm_cfg=NORM_BN, align_corners=False,
+            loss_decode=dict(CE_CFG, loss_weight=0.4)),
+        train_cfg=dict(), test_cfg=dict(mode="whole"))
+    ed.eval()  # deterministic: dropout off, BN on injected running stats
+
+    # shared params: init our heads, inject into the executed ones
+    uper = UN.UPerHead(NC, channels=C, norm="bn", dtype=jnp.float32)
+    feats_j = [jnp.asarray(f) for f in feats_np]
+    p_u, s_u = _perturbed_init(uper, feats_j, seed=31)
+    _inject_uper(ed.decode_head, p_u, s_u)
+    fcn = UN.FCNHead(NC, channels=C, norm="bn", dtype=jnp.float32)
+    p_f, s_f = _perturbed_init(fcn, feats_j[2], seed=37)
+    _inject_conv_module(ed.auxiliary_head.convs[0], p_f, s_f, "conv0")
+    with torch.no_grad():
+        ed.auxiliary_head.conv_seg.weight.copy_(
+            _t(p_f, "conv_seg", "kernel").permute(3, 2, 0, 1))
+        ed.auxiliary_head.conv_seg.bias.copy_(_t(p_f, "conv_seg", "bias"))
+
+    labels = rs.randint(0, NC, (2, IMG, IMG)).astype(np.int64)
+    labels[:, :11] = 255
+    img_t = torch.zeros(2, 3, IMG, IMG)
+    with torch.no_grad():
+        losses = ed.forward_train(img_t, [dict()],
+                                  torch.from_numpy(labels[:, None]))
+    ref_total, logv = m["base"].BaseSegmentor._parse_losses(losses)
+    assert set(k for k in logv if "loss" in k) == {
+        "token_loss", "decode.loss_ce", "aux.loss_ce", "loss"}
+
+    # ours: heads' logits resized to label size (as DyTSegmentor does),
+    # then seg_loss
+    lg = uper.apply({"params": p_u, "batch_stats": s_u}, feats_j)
+    ax = fcn.apply({"params": p_f, "batch_stats": s_f}, feats_j[2])
+    total, _ = UN.seg_loss(UN._resize(lg, (IMG, IMG)),
+                           UN._resize(ax, (IMG, IMG)),
+                           jnp.asarray(labels), jnp.asarray(token_loss))
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-5)
+
+
 def test_reduce_zero_label_matches_executed_mmseg():
     """The ADE20K label convention: intersect_and_union's
     reduce_zero_label branch executed (label-1; 0 -> 255) vs our loader's
