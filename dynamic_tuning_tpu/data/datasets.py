@@ -209,6 +209,9 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
     # falls through to the parsers below)
     try:
         nc = vtab_num_classes(dataset)
+    except KeyError:
+        nc = None  # not a VTAB task name; fall through to the parsers
+    if nc is not None:
         root = os.path.join(data_path, dataset)
         # square stretch only for the VTAB no-aug protocol; aug mode keeps
         # aspect ratio (short-side + center crop) like the reference's
@@ -218,8 +221,6 @@ def build_image_dataset(dataset: str, data_path: str, *, no_aug: bool = False,
         val = ImageFilelist(root, os.path.join(root, "test.txt"), nc,
                             canvas=canvas, square=no_aug)
         return train, val, nc, "accuracy"
-    except KeyError:
-        pass
     # the reference's full-dataset names carry a "_full" suffix
     # (image_datasets.py:32-96: cifar100_full, svhn_full, ...); strip it
     # AFTER the VTAB match so reference invocations work unchanged

@@ -40,7 +40,11 @@ class FileListDataset:
         from dynamic_tuning_tpu.data.datasets import decode_canvas
 
         path, label = self.samples[i]
-        return decode_canvas(path, self.canvas), label
+        # self.square must reach the decode so the Python fallback loader
+        # matches the native C++ loader (which reads it via getattr,
+        # loader.py) — no_aug square-resize pixels were backend-dependent
+        # without it (round-4 advisor finding).
+        return decode_canvas(path, self.canvas, self.square), label
 
 
 def flowers102(root: str, split: str) -> FileListDataset:

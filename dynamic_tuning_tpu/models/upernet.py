@@ -27,9 +27,44 @@ from dynamic_tuning_tpu.models.seg_vit import SegVisionTransformer
 Dtype = Any
 
 
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] matrix of torch ``F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False)`` along one axis: half-pixel
+    source coords, 2 taps, edge-clamped.  Needed because
+    ``jax.image.resize`` ANTIALIASES when downscaling (wider triangle
+    kernel) while torch does not — the two agree only for scale >= 1."""
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        w1 = x - x0
+        i0 = min(max(x0, 0), n_in - 1)
+        i1 = min(max(x0 + 1, 0), n_in - 1)
+        m[i, i0] += 1.0 - w1
+        m[i, i1] += w1
+    return m
+
+
 def _resize(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]),
-                            method="bilinear")
+    """torch ``F.interpolate(..., mode='bilinear', align_corners=False)``
+    equivalent for NHWC (the resize the reference's mmseg fork uses
+    everywhere, mmseg/ops/wrappers.py).  Upscaling uses jax.image.resize
+    (identical kernel when scale >= 1, pinned at 1e-5 by
+    tests/test_reference_seg_executed.py); any downscaled axis switches to
+    an exact 2-tap matrix contraction because jax's bilinear antialiases
+    on downscale and torch's does not (the UPerHead PSP pool-scale > input
+    regime: adaptive pool UP to scale s then bilinear DOWN to the feature
+    size)."""
+    H, W = x.shape[1], x.shape[2]
+    h, w = hw
+    if h >= H and w >= W:
+        return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]),
+                                method="bilinear")
+    mh = jnp.asarray(_bilinear_matrix(H, h), x.dtype)
+    mw = jnp.asarray(_bilinear_matrix(W, w), x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, out)
 
 
 class _ConvKernel(nn.Module):

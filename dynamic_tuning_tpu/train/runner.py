@@ -139,6 +139,15 @@ class Runner:
         # resumed run itself began mid-schedule)
         sched_offset = (cfg.start_epoch * applied_per_epoch
                         if cfg.start_epoch else 0)
+        if cfg.resume and cfg.start_epoch:
+            # the offset STACKS on the restored optimizer step count; that
+            # is only right if the resumed run itself began mid-schedule
+            # with the same --start_epoch (round-4 advisor finding)
+            self.logger.warning(
+                "--resume with --start_epoch: the LR schedule offset "
+                f"({cfg.start_epoch} epochs) is applied ON TOP of the "
+                "restored optimizer step count — only pass --start_epoch "
+                "here if the resumed run itself was started with it")
         self.tx = with_grad_accumulation(make_optimizer(
             lr, min_lr=cfg.optim.min_lr, epochs=cfg.optim.epochs,
             warmup_epochs=cfg.optim.warmup_epochs,

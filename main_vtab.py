@@ -21,10 +21,10 @@ def get_args_parser():
                         batch_size=64, ffn_num=16, adapter_scalar="1.0",
                         dataset="")
     parser.add_argument("--task", default="",
-                        help="VTAB task name, or 'all' for the 19-task "
-                             "sweep; --dataset <task> also works (the "
-                             "reference train_vtab.sh spelling); default "
-                             "cifar_vtab")
+                        help="VTAB task name, 'all' for the 19-task sweep, "
+                             "or a comma-separated subset; --dataset <task> "
+                             "also works (the reference train_vtab.sh "
+                             "spelling); default cifar_vtab")
     return parser
 
 
@@ -47,12 +47,22 @@ def main(args):
     # (train_vtab.sh: `main_vtab.py ... --dataset $DATASET`); --task wins
     # when both are given
     task = args.task or args.dataset or "cifar_vtab"
-    tasks = list(VTAB_TASKS) if task == "all" else [task]
+    if task == "all":
+        tasks = list(VTAB_TASKS)
+    else:
+        tasks = [t for t in task.split(",") if t]
     results = {}
     for task in tasks:
         results[task] = run_task(args, task)
-    print(json.dumps({t: r.get("max_metric", r.get("metric"))
-                      for t, r in results.items()}, indent=2))
+    # per-task best top-1 plus the sweep mean — the mean IS the VTAB-1K
+    # pass criterion (BASELINE.json / OPERATOR.md §2: "mean VTAB-1K top-1
+    # within 0.3%"), matching how the reference's 19-task sweep is scored
+    # (train_vtab.sh runs one task per GPU; the paper reports the mean)
+    summary = {t: float(r.get("max_metric", r.get("metric")))
+               for t, r in results.items()}
+    if len(tasks) > 1:
+        summary["mean_top1"] = sum(summary.values()) / len(tasks)
+    print(json.dumps(summary, indent=2))
     return results
 
 

@@ -112,12 +112,19 @@ def _inject_uper(ref, params, stats):
 
 @pytest.mark.parametrize("sizes,C,NC,tol", [
     ((64, 32, 16, 8), 64, 7, 3e-5),
+    # degenerate PSP regime: last-stage feature 2x2 < pool scales 3 and 6,
+    # so adaptive pool goes UP (output > input) and the PSP branch then
+    # bilinearly DOWNSCALES back — exercises _resize's exact torch 2-tap
+    # downscale path (jax.image.resize antialiases there; the round-4 red
+    # test's root cause).  Unreachable at the ADE20K recipe (512^2 ->
+    # smallest PSP input 16x16) but a genuine head regime.
+    ((16, 8, 4, 2), 16, 7, 3e-5),
 ])
 def test_uperhead_matches_executed_mmseg(sizes, C, NC, tol):
     """Our flax UPerHead (norm='bn') vs the reference's EXECUTED mmseg
-    UPerHead, same params + BN running stats.  Feature sizes decrease so
-    every internal resize UPSAMPLES (jax/torch bilinear align_corners=False
-    agree there; no live head path downscales)."""
+    UPerHead, same params + BN running stats — covering both the all-
+    upsample geometry of the live recipe and the pool-scale > input
+    downscale regime."""
     head = UN.UPerHead(NC, channels=C, norm="bn", dtype=jnp.float32)
     rs = np.random.RandomState(3)
     feats = [jnp.asarray(rs.randn(2, s, s, C).astype(np.float32))
