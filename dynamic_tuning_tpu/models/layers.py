@@ -549,6 +549,47 @@ class _AdapterParams(nn.Module):
         return wd, bd, wu, bu, scale
 
 
+class _BareKernel(nn.Module):
+    """Single bias-less kernel param (MoEAdapter's router Dense tree)."""
+
+    shape: Tuple[int, ...]
+    init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.init, self.shape, jnp.float32)
+
+
+class _MoEAdapterParams(nn.Module):
+    """Stacked-expert params mirroring MoEAdapter's tree exactly (router
+    kernel + down/up expert stacks + optional learnable scale), for the
+    fused MoE serving prologue."""
+
+    cfg: TuningConfig
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        cfg, d = self.cfg, self.dim
+        E, b = cfg.moe_experts, cfg.ffn_num
+        wrt = _BareKernel((d, E), name="router")()
+        down_k = self.param("down_kernel", _stacked_kaiming(E), (E, d, b),
+                            jnp.float32)
+        down_b = self.param("down_bias", nn.initializers.zeros_init(),
+                            (E, b), jnp.float32)
+        up_k = self.param("up_kernel", nn.initializers.zeros_init(),
+                          (E, b, d), jnp.float32)
+        up_b = self.param("up_bias", nn.initializers.zeros_init(), (E, d),
+                          jnp.float32)
+        if cfg.ffn_adapter_scalar == "learnable_scalar":
+            scale = self.param("scale", nn.initializers.ones_init(), (1,),
+                               jnp.float32)
+        else:
+            scale = jnp.full((1,), float(cfg.ffn_adapter_scalar),
+                             jnp.float32)
+        return wrt, down_k, down_b, up_k, up_b, scale
+
+
 class _SelectParams(nn.Module):
     """Router-head params mirroring TokenSelect's tree."""
 
@@ -657,11 +698,10 @@ class Block(nn.Module):
             # (big-N paths fall back to Attention / the chunked windowed
             # kernel)
             and x.shape[1] <= 512)
-        # standard parallel adapter fuses into the prologue kernel; MoE or
+        # standard parallel adapter fuses into the prologue kernel;
         # in/out-LN adapters fall back to the module path
-        plain_adapter = (self.tuning.ffn_adapt
-                         and not (self.tuning.moe_experts
-                                  and self.tuning.moe_experts > 1)
+        moe_on = bool(self.tuning.moe_experts and self.tuning.moe_experts > 1)
+        plain_adapter = (self.tuning.ffn_adapt and not moe_on
                          and self.tuning.ffn_adapter_layernorm_option == "none")
         with_select = bool(self.select and not complete_model)
         gate, logits, adapt_x = None, None, None
@@ -676,22 +716,40 @@ class Block(nn.Module):
                  or jax.default_backend() == "tpu"))
         use_q8 = use_q8_mlp and fuse_sublayer
         attn_q8 = self.quant == "int8_attn"
+        # the MoE-enhanced adapter fuses into the bf16 prologue (its
+        # stacked-expert mixture is four small matmuls on the VMEM-resident
+        # x_mid — ops/mha_serving.py::dyt_prologue_serving_moe); the q8
+        # prologue supports the plain adapter only, so int8+MoE keeps the
+        # q8 attention sublayer and the module-path adapter
+        moe_fused = (self.tuning.ffn_adapt and moe_on and not use_q8
+                     and self.tuning.ffn_adapter_layernorm_option == "none")
 
-        if fuse_sublayer and plain_adapter:
+        if fuse_sublayer and (plain_adapter or moe_fused):
             # DyT prologue kernel: attention sublayer + adapter + router head
             # in one Pallas program while x_mid is in VMEM (ops/mha_serving.py)
-            from dynamic_tuning_tpu.ops.mha_serving import dyt_prologue_serving
-
             g, bta = _LNParams(dim, name="norm1")()
             wqkv, bqkv, wproj, bproj = _AttnParams(
                 dim, self.qkv_bias, self.qv_bias_only, name="attn")()
-            wd, bd, wu, bu, ascale = _AdapterParams(
-                self.tuning, dim, name="adaptmlp")()
+            if not moe_fused:
+                wd, bd, wu, bu, ascale = _AdapterParams(
+                    self.tuning, dim, name="adaptmlp")()
             if with_select:
                 wsel, bsel = _SelectParams(dim, name="mlp_token_select")()
             else:
                 wsel, bsel = jnp.zeros((dim, 1), jnp.float32), jnp.zeros((1,))
-            if use_q8:
+            if moe_fused:
+                from dynamic_tuning_tpu.ops.mha_serving import \
+                    dyt_prologue_serving_moe
+                wrt, down_k, down_b, up_k, up_b, ascale = _MoEAdapterParams(
+                    self.tuning, dim, name="adaptmlp")()
+                outs = dyt_prologue_serving_moe(
+                    x, g, bta, wqkv.astype(self.dtype), bqkv,
+                    wproj.astype(self.dtype), bproj,
+                    wrt, down_k, down_b, up_k, up_b, ascale, wsel, bsel,
+                    heads=self.num_heads, tau=self.tuning.moe_router_tau,
+                    with_select=with_select,
+                    interpret=fused_mode == "interpret")
+            elif use_q8:
                 from dynamic_tuning_tpu.ops.quant import \
                     dyt_prologue_serving_q8
                 outs = dyt_prologue_serving_q8(
@@ -701,6 +759,8 @@ class Block(nn.Module):
                     with_select=with_select, attn_q8=attn_q8,
                     interpret=fused_mode == "interpret")
             else:
+                from dynamic_tuning_tpu.ops.mha_serving import \
+                    dyt_prologue_serving
                 outs = dyt_prologue_serving(
                     x, g, bta, wqkv.astype(self.dtype), bqkv,
                     wproj.astype(self.dtype), bproj,

@@ -661,6 +661,188 @@ def _dyt_prologue_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj,
       adapter_scale, wsel, bsel)
 
 
+# --- MoE prologue: sublayer + MoE adapter + router head -----------------------
+#
+# The MoE-enhanced adapter (paper feature, reference README.md:27) is a dense
+# mixture: every expert runs on every token and a per-token softmax router
+# blends the outputs.  Off the prologue kernel it pays a measured ~1.21x
+# serving premium (BENCH.md round 4, profile_moe_cost) — not for its FLOPs
+# (the experts are d x bneck, tiny) but for falling back to the UNfused
+# module path, which re-reads x_mid from HBM three times.  In-kernel the
+# whole mixture is four small matmuls on the VMEM-resident x_mid:
+#
+#   g   = softmax((x_mid @ w_router) / tau)                  [N, E]  fp32
+#   h   = relu(x_mid @ down2d + bd)                          [N, E*b]
+#         (down2d[d, e*b+j] = down_kernel[e, d, j] — all experts as one
+#          lane-concatenated contraction)
+#   out = (h * (g @ expand)) @ up2d + g @ up_bias            [N, C]
+#         (gate-weighting folded into the up contraction:
+#          sum_e g_e * (h_e @ U_e) == concat_e(h_e * g_e) @ stack_e(U_e))
+
+
+def _dyt_prologue_moe_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                             wproj_ref, bproj_ref, wrt_ref, wd_ref, bd_ref,
+                             wu_ref, bu_ref, asc_ref, wsel_ref, bsel_ref,
+                             o_ref, adapt_ref, sel_ref, qkv_s, out_s,
+                             *, heads: int, hd: int, scale: float,
+                             with_select: bool, experts: int, bneck: int,
+                             tau: float):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    ln = layernorm_f32(xf, g_ref[0], b_ref[0])
+    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
+
+    proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    xm = xf + proj + bproj_ref[0]                       # fp32 [N, C]
+    o_ref[0] = xm.astype(o_ref.dtype)
+
+    # router over experts: fp32 softmax (MoEAdapter semantics — no bias)
+    r = jax.lax.dot_general(xm, wrt_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (1.0 / tau)
+    m = jnp.max(r, axis=-1, keepdims=True)
+    eg = jnp.exp(r - m)
+    gates = eg / jnp.sum(eg, axis=-1, keepdims=True)    # [N, E] fp32
+
+    xm_c = xm.astype(wd_ref.dtype)
+    h = jax.lax.dot_general(xm_c, wd_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + bd_ref[0], 0.0)                 # [N, E*b] fp32
+
+    # expand gates [N, E] -> [N, E*b] with a block one-hot matmul (static)
+    row = jax.lax.broadcasted_iota(jnp.int32, (experts, experts * bneck), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (experts, experts * bneck), 1)
+    expand = (col // bneck == row).astype(jnp.float32)
+    gexp = jax.lax.dot_general(gates, expand, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    hg = (h * gexp).astype(wu_ref.dtype)
+    up = jax.lax.dot_general(hg, wu_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    upb = jax.lax.dot_general(gates, bu_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    adapt_ref[0] = ((up + upb) * asc_ref[0, 0]).astype(adapt_ref.dtype)
+
+    if with_select:
+        logits = jax.lax.dot_general(xm, wsel_ref[...],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        sel_ref[0] = logits + bsel_ref[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _prologue_moe_partitioned(heads: int, with_select: bool, experts: int,
+                              bneck: int, tau: float, interpret: bool):
+    return _batch_partitioned(
+        lambda *a: _dyt_prologue_moe_impl(*a, heads=heads,
+                                          with_select=with_select,
+                                          experts=experts, bneck=bneck,
+                                          tau=tau, interpret=interpret),
+        arg_ndims=(3,) + (2,) * 14, out_ndims=(3, 3, 3))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "with_select", "tau",
+                                    "interpret"))
+def dyt_prologue_serving_moe(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                             wrouter, down_kernel, down_bias, up_kernel,
+                             up_bias, adapter_scale, wsel, bsel, *,
+                             heads: int, tau: float, with_select: bool = True,
+                             interpret: bool = False):
+    """Fused DyT serving prologue with the MoE-enhanced adapter:
+        x_mid  = x + proj(mha(qkv(LN(x))))
+        gates  = softmax((x_mid @ wrouter) / tau)
+        adapt  = (sum_e gates_e * expert_e(x_mid)) * adapter_scale
+        logits = x_mid @ wsel + bsel              (when with_select)
+    Returns (x_mid, adapt, logits [B,N,1] fp32) or (x_mid, adapt).
+
+    Stacked-expert params exactly as MoEAdapter declares them:
+    wrouter [C,E], down_kernel [E,C,b], down_bias [E,b], up_kernel [E,b,C],
+    up_bias [E,C].  Same applicability constraints as dyt_prologue_serving.
+    SPMD-partitions along the batch sharding (weights replicated)."""
+    C = x.shape[-1]
+    E, _, b = down_kernel.shape
+    dtype = wqkv.dtype
+    down2d = down_kernel.transpose(1, 0, 2).reshape(C, E * b).astype(dtype)
+    up2d = up_kernel.reshape(E * b, C).astype(dtype)
+    outs = _prologue_moe_partitioned(heads, with_select, E, b, tau,
+                                     interpret)(
+        x, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32), wqkv,
+        bqkv.reshape(1, 3 * C).astype(jnp.float32), wproj,
+        bproj.reshape(1, C).astype(jnp.float32),
+        wrouter.astype(jnp.float32), down2d,
+        down_bias.reshape(1, E * b).astype(jnp.float32), up2d,
+        up_bias.astype(jnp.float32),
+        jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
+        wsel.reshape(C, 1).astype(jnp.float32),
+        jnp.asarray(bsel, jnp.float32).reshape(1, 1))
+    x_mid, adapt, sel = outs
+    return (x_mid, adapt, sel) if with_select else (x_mid, adapt)
+
+
+def _dyt_prologue_moe_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                           wrouter, down2d, bdown, up2d, bu_mat,
+                           adapter_scale, wsel, bsel, *, heads, with_select,
+                           experts, bneck, tau, interpret):
+    B, N, C = x.shape
+    hd = C // heads
+    assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
+    scale = hd ** -0.5
+    dtype = wqkv.dtype
+    eb = experts * bneck
+    const = lambda b: (0, 0)
+    row = lambda b: (b, 0, 0)
+    out_shape = [jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                 jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                 jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), row, memory_space=pltpu.VMEM)]
+    flops = (2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
+             + 4 * B * N * C * eb + 2 * B * N * C * experts)
+    return pl.pallas_call(
+        functools.partial(_dyt_prologue_moe_kernel, heads=heads, hd=hd,
+                          scale=scale, with_select=with_select,
+                          experts=experts, bneck=bneck, tau=tau),
+        out_shape=tuple(out_shape),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, experts), const,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, eb), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, eb), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((eb, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((experts, C), const,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((N, 3 * C), dtype),
+                        pltpu.VMEM((N, C), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N + B * N * experts,
+            bytes_accessed=3 * x.size * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, gamma, beta, wqkv, bqkv, wproj, bproj, wrouter, down2d, bdown,
+      up2d, bu_mat, adapter_scale, wsel, bsel)
+
+
 def attention_sublayer_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, *,
                                  heads: int):
     """XLA composition the sublayer kernel replaces (for tests/fallback)."""

@@ -1,17 +1,16 @@
-"""MoE-adapter serving cost (VERDICT r3 #5, second half).
+"""MoE-adapter serving cost (VERDICT r3 #5 second half; r4 #2 fusion).
 
-The fused DyT prologue kernel only fuses the PLAIN parallel adapter; an
-MoE adapter (or in/out-LN adapter) falls back to the module path
-(models/layers.py Block.__call__, `plain_adapter` guard).  This measures
-that fallback's price on the real serving path, full-scale ViT-B/16 224^2
+Round 4 measured the MoE adapter's MODULE-PATH fallback at a 1.21x serving
+premium.  Round 5 fused the stacked-expert mixture into the DyT prologue
+kernel (ops/mha_serving.py::dyt_prologue_serving_moe), so this now measures
+the fused MoE serving cost on the real path, full-scale ViT-B/16 224^2
 batch 128 bf16 capacity-dispatch (the bench.py protocol):
 
-  A. plain adapter, fused kernels ON          (the headline config)
-  B. MoE-4 adapter  -> adapter falls off the fused prologue (the
-     attention-sublayer kernel still applies)   (what MoE actually costs)
-  C. plain adapter, DYT_FUSED_ATTN=0          (context: the FULLY unfused
-     cost — B sits between A and C because MoE only loses the prologue
-     fusion, so B-A = prologue-fusion loss + 4x expert flops + router)
+  A. plain adapter, fused kernels ON           (the headline config)
+  B. MoE-4 adapter, fused MoE prologue         (north-star acceptance:
+                                                within <=8% of A)
+  C. MoE-4 adapter, DYT_FUSED_ATTN=0           (context: fully unfused MoE)
+  D. plain adapter, DYT_FUSED_ATTN=0           (context: fully unfused)
 
 Timings via scripts/bench_util.device_time (tunnel-RTT-free scan
 difference), variants timed back-to-back in one session so the ratios
@@ -50,7 +49,8 @@ def main():
 
     variants = {
         "plain_fused": (TuningConfig(), "1"),
-        "moe4_fallback": (TuningConfig(moe_experts=4), "1"),
+        "moe4_fused": (TuningConfig(moe_experts=4), "1"),
+        "moe4_unfused": (TuningConfig(moe_experts=4), "0"),
         "plain_unfused": (TuningConfig(), "0"),
     }
 
@@ -71,12 +71,12 @@ def main():
                          img_s=round(args.batch / dt, 1))
         print(json.dumps({name: out[name]}), flush=True)
 
-    a, b, c = (out["plain_fused"]["ms"], out["moe4_fallback"]["ms"],
-               out["plain_unfused"]["ms"])
+    a, b = out["plain_fused"]["ms"], out["moe4_fused"]["ms"]
     print(json.dumps({
         "moe_serving_premium": round(b / a, 4),
         "moe_premium_ms": round(b - a, 3),
-        "all_unfused_context_ms": c,
+        "moe_unfused_context_ms": out["moe4_unfused"]["ms"],
+        "all_unfused_context_ms": out["plain_unfused"]["ms"],
     }))
 
 

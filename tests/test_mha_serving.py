@@ -244,3 +244,43 @@ def test_qkv_packing_order():
     got = mha_serving_fused(qkv, heads=H, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["student", "teacher", "dispatch"])
+def test_block_moe_prologue_matches_unfused(monkeypatch, mode):
+    """The MoE prologue kernel (stacked-expert mixture + router head fused,
+    ops/mha_serving.py::dyt_prologue_serving_moe) reproduces the unfused
+    Block's MoEAdapter module path, with an identical param tree.  Params
+    are perturbed off init (router/up kernels are zeros-init, which would
+    make the adapter output trivially 0)."""
+    from dynamic_tuning_tpu.config import SelectConfig, TuningConfig
+    from dynamic_tuning_tpu.models.layers import Block
+
+    tuning = TuningConfig(ffn_num=8, d_model=128, moe_experts=4,
+                          moe_router_tau=1.0)
+    blk = Block(num_heads=2, tuning=tuning,
+                select_cfg=SelectConfig(token_target_ratio=0.5),
+                dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 19, 128), jnp.float32)
+    kwargs = (dict(complete_model=True) if mode == "teacher"
+              else dict(dispatch=True) if mode == "dispatch" else {})
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "0")
+    params = blk.init(jax.random.PRNGKey(5), x)["params"]
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(6), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        tree, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+               for l, k in zip(leaves, keys)])
+    want, want_gate, _ = blk.apply({"params": params}, x, **kwargs)
+
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    params_fused = blk.init(jax.random.PRNGKey(5), x)["params"]
+    assert (jax.tree_util.tree_structure(params_fused)
+            == jax.tree_util.tree_structure(params))
+    got, got_gate, _ = blk.apply({"params": params}, x, **kwargs)
+    if want_gate is not None:
+        np.testing.assert_allclose(np.asarray(got_gate),
+                                   np.asarray(want_gate), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
