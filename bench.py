@@ -323,7 +323,10 @@ def main():
 
     # --- seg family: full DyTSegmentor (UPerHead included — the deployed
     # model; the head is routing-independent so it dilutes the ratio,
-    # BENCH.md head-dominance note), 512^2 crops ----------------------------
+    # BENCH.md head-dominance note), 512^2 crops.  Batch-4 crop forwards ==
+    # the SHIPPING slide default (tile_batch=4, seg_train.py default since
+    # r5): same compute, minus the window accumulation (measured end-to-end
+    # in scripts/bench_seg_compound.py) -------------------------------------
     seg = {}
     try:
         from dynamic_tuning_tpu.models.upernet import DyTSegmentor
@@ -376,7 +379,9 @@ def main():
                "seg_dense_crops_s": round(SB * SITERS / sbest["dense"], 2),
                "seg_vs_dense": round(sbest["dense"] / sbest["dyt"], 4),
                "seg_int8_crops_s": round(SB * SITERS / sbest["q8"], 2),
-               "seg_int8_vs_dense": round(sbest["dense"] / sbest["q8"], 4)}
+               "seg_int8_vs_dense": round(sbest["dense"] / sbest["q8"], 4),
+               "seg_protocol": "shipping default: dispatch, head 768, "
+                               "bf16, batch-4 crops == slide tile_batch=4"}
     except Exception:
         pass  # seg bench is an extra: never fail the headline
 

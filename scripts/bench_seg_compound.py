@@ -71,23 +71,48 @@ def main():
             variants[f"dyt_h{head}_{quant}"] = build(head, quant, True)
     variants["dense_h768_none"] = build(768, "none", False)
 
-    def slide_time(apply_fn, params, tb):
-        jitted = jax.jit(lambda p, im: slide_inference(
-            apply_fn, p, im, num_classes=150, crop=512, stride=341,
-            tile_batch=tb))
-        def run(im, p):
-            return jitted(p, im).sum()
-        return device_time(run, img, params, i1=2, i2=args.iters)
+    # One jitted scan program per combo (slide x iters, one scalar
+    # readback): block_until_ready does NOT wait for remote execution on
+    # the tunnel backend (measured 0.44 "ms"/slide — bogus), so all timing
+    # here is float()-readback over a scan, the house pattern (bench.py,
+    # bench_util).  One compile per combo; post-compile timing rounds
+    # interleave ALL combos so ratios survive chip-state drift.
+    combos = [(name, tb) for name in variants for tb in (1, 4)]
+    progs = {}
+    best = {c: float("inf") for c in combos}
+
+    def make_prog(fn, tb):
+        @jax.jit
+        def prog(p, im):
+            def body(c, _):
+                out = slide_inference(
+                    fn, p, im + (c != 0).astype(im.dtype),
+                    num_classes=150, crop=512, stride=341, tile_batch=tb)
+                return out.sum().astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                length=args.iters)
+            return s
+        return prog
+
+    def time_combo(name, tb):
+        fn, p = variants[name]
+        if (name, tb) not in progs:
+            progs[(name, tb)] = make_prog(fn, tb)
+            _ = float(progs[(name, tb)](p, img))      # compile + warm
+        t0 = time.perf_counter()
+        _ = float(progs[(name, tb)](p, img))
+        return (time.perf_counter() - t0) / args.iters
+
+    for name, tb in combos:                     # compile pass + first timing
+        best[(name, tb)] = min(best[(name, tb)], time_combo(name, tb))
+        print(json.dumps({"compiled": f"{name}_tb{tb}",
+                          "ms": round(best[(name, tb)] * 1e3, 2)}),
+              flush=True)
+    for _ in range(3):                          # warm interleaved rounds
+        for c in combos:
+            best[c] = min(best[c], time_combo(*c))
 
     out = {}
-    combos = [(name, tb) for name in variants for tb in (1, 4)]
-    # interleave all combos across repeats in one session
-    best = {c: float("inf") for c in combos}
-    for rep in range(2):
-        for name, tb in combos:
-            fn, p = variants[name]
-            dt = slide_time(fn, p, tb)
-            best[(name, tb)] = min(best[(name, tb)], dt)
     base = best[("dense_h768_none", 1)]
     for (name, tb), dt in sorted(best.items()):
         out[f"{name}_tb{tb}"] = dict(
