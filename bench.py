@@ -323,15 +323,15 @@ def main():
 
     # --- seg family: full DyTSegmentor (UPerHead included — the deployed
     # model; the head is routing-independent so it dilutes the ratio,
-    # BENCH.md head-dominance note), 512^2 crops.  Batch-4 crop forwards ==
-    # the SHIPPING slide default (tile_batch=4, seg_train.py default since
-    # r5): same compute, minus the window accumulation (measured end-to-end
-    # in scripts/bench_seg_compound.py) -------------------------------------
+    # BENCH.md head-dominance note), 512^2 crops.  Batch-1 tile forwards ==
+    # the SHIPPING slide default (tile_batch=1, the reference cadence AND
+    # the faster compute — batching 512^2 tiles costs ~17%/tile; measured
+    # end-to-end in scripts/bench_seg_compound.py, BENCH.md round 5) --------
     seg = {}
     try:
         from dynamic_tuning_tpu.models.upernet import DyTSegmentor
 
-        SB, SITERS = 4, 6
+        SB, SITERS = 1, 12
         scfg = ModelConfig(img_size=512, gelu_approx=True,
                            residual_dtype="bfloat16")
         sx = jax.random.normal(rng, (SB, 512, 512, 3), jnp.float32)
@@ -381,7 +381,7 @@ def main():
                "seg_int8_crops_s": round(SB * SITERS / sbest["q8"], 2),
                "seg_int8_vs_dense": round(sbest["dense"] / sbest["q8"], 4),
                "seg_protocol": "shipping default: dispatch, head 768, "
-                               "bf16, batch-4 crops == slide tile_batch=4"}
+                               "bf16, batch-1 tiles == slide tile_batch=1"}
     except Exception:
         pass  # seg bench is an extra: never fail the headline
 

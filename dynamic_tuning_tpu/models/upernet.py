@@ -313,12 +313,16 @@ def slide_inference(apply_fn, params, image: jax.Array, *, num_classes: int,
 
     image: [H, W, 3] normalized.  Returns [H, W, num_classes] logits.
 
-    ``tile_batch`` > 1 runs that many window tiles per forward: batch-1
-    tile dispatch underutilizes the MXU, and over a high-RTT link each
-    launch pays a round trip.  The tile list pads to a multiple by
-    repeating the last window with accumulation weight 0, so results are
-    identical to the one-tile-at-a-time reference semantics; the model
-    compiles once per (crop, tile_batch).
+    ``tile_batch`` > 1 runs that many window tiles per forward.  This is
+    purely a launch-count lever: it wins only when per-dispatch latency
+    dominates (a remote/tunneled device at ~25-50 ms RTT: 1.7-2.3x), and
+    LOSES ~17%/tile in the compute-bound regime — batched 512^2 tiles
+    schedule worse than back-to-back batch-1 forwards (BENCH.md round 5,
+    scripts/bench_seg_compound.py).  Default 1 = the reference's
+    one-at-a-time cadence.  The tile list pads to a multiple by repeating
+    the last window with accumulation weight 0, so results are identical
+    to the reference semantics; the model compiles once per
+    (crop, tile_batch).
     """
     H, W = image.shape[0], image.shape[1]
     pad_h, pad_w = max(crop - H, 0), max(crop - W, 0)

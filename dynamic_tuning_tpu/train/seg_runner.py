@@ -64,7 +64,7 @@ class SegRunner:
     def __init__(self, cfg: RunConfig, *, total_iters: int = 160_000,
                  eval_interval: int = 16_000, crop: int = 512,
                  slide_stride: int = 341, norm: str = "gn",
-                 head_channels: int = 0, tile_batch: int = 4):
+                 head_channels: int = 0, tile_batch: int = 1):
         self.cfg = cfg
         self.norm = norm
         self.head_channels = head_channels or None

@@ -122,9 +122,9 @@ def main():
         print(json.dumps({f"{name}_tb{tb}": out[f"{name}_tb{tb}"]}),
               flush=True)
 
-    ship = best[("dyt_h768_none", 4)]
+    ship = best[("dyt_h768_none", 1)]
     print(json.dumps({
-        "shipping_default": "dyt_h768_none_tb4",
+        "shipping_default": "dyt_h768_none_tb1",
         "shipping_vs_reference_protocol_dense": round(base / ship, 4),
         "compound_best": min(out, key=lambda k: out[k]["ms_per_image"]),
     }), flush=True)

@@ -32,12 +32,15 @@ def get_args_parser():
     p.add_argument("--total_iters", type=int, default=160_000)
     p.add_argument("--eval_interval", type=int, default=16_000)
     p.add_argument("--slide_stride", type=int, default=341)
-    p.add_argument("--slide_tile_batch", type=int, default=4,
-                   help="window tiles per eval forward (default 4: +25%% "
-                        "slide throughput, numerically identical to the "
-                        "reference's one-at-a-time protocol and clamped to "
-                        "the real window count so single-window images "
-                        "pay nothing; 1 = reference launch cadence)")
+    p.add_argument("--slide_tile_batch", type=int, default=1,
+                   help="window tiles per eval forward (default 1 = the "
+                        "reference's one-at-a-time cadence, which is also "
+                        "the faster compute (batching 512^2 tiles costs "
+                        "~17%% per tile — BENCH.md round 5); raise to 2-4 "
+                        "only when per-dispatch latency dominates, e.g. a "
+                        "remote/tunneled device: fewer launches, "
+                        "numerically identical, clamped to the real "
+                        "window count)")
     p.add_argument("--seg_norm", default="gn", choices=["gn", "bn"],
                    help="head norm: gn (stateless) or bn (SyncBN parity)")
     p.add_argument("--seg_head_channels", type=int, default=0,
