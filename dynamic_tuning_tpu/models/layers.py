@@ -716,12 +716,12 @@ class Block(nn.Module):
                  or jax.default_backend() == "tpu"))
         use_q8 = use_q8_mlp and fuse_sublayer
         attn_q8 = self.quant == "int8_attn"
-        # the MoE-enhanced adapter fuses into the bf16 prologue (its
+        # the MoE-enhanced adapter fuses into BOTH prologues (its
         # stacked-expert mixture is four small matmuls on the VMEM-resident
-        # x_mid — ops/mha_serving.py::dyt_prologue_serving_moe); the q8
-        # prologue supports the plain adapter only, so int8+MoE keeps the
-        # q8 attention sublayer and the module-path adapter
-        moe_fused = (self.tuning.ffn_adapt and moe_on and not use_q8
+        # x_mid): bf16 via ops/mha_serving.py::dyt_prologue_serving_moe,
+        # int8 via ops/quant.py::dyt_prologue_serving_q8_moe (qkv/proj on
+        # the int8 MXU path, the mixture itself stays bf16/fp32)
+        moe_fused = (self.tuning.ffn_adapt and moe_on
                      and self.tuning.ffn_adapter_layernorm_option == "none")
 
         if fuse_sublayer and (plain_adapter or moe_fused):
@@ -738,17 +738,30 @@ class Block(nn.Module):
             else:
                 wsel, bsel = jnp.zeros((dim, 1), jnp.float32), jnp.zeros((1,))
             if moe_fused:
-                from dynamic_tuning_tpu.ops.mha_serving import \
-                    dyt_prologue_serving_moe
                 wrt, down_k, down_b, up_k, up_b, ascale = _MoEAdapterParams(
                     self.tuning, dim, name="adaptmlp")()
-                outs = dyt_prologue_serving_moe(
-                    x, g, bta, wqkv.astype(self.dtype), bqkv,
-                    wproj.astype(self.dtype), bproj,
-                    wrt, down_k, down_b, up_k, up_b, ascale, wsel, bsel,
-                    heads=self.num_heads, tau=self.tuning.moe_router_tau,
-                    with_select=with_select,
-                    interpret=fused_mode == "interpret")
+                if use_q8:
+                    from dynamic_tuning_tpu.ops.quant import \
+                        dyt_prologue_serving_q8_moe
+                    outs = dyt_prologue_serving_q8_moe(
+                        x, g, bta, wqkv, bqkv, wproj, bproj,
+                        wrt, down_k.astype(self.dtype), down_b,
+                        up_k.astype(self.dtype), up_b, ascale, wsel, bsel,
+                        heads=self.num_heads,
+                        tau=self.tuning.moe_router_tau,
+                        with_select=with_select, attn_q8=attn_q8,
+                        interpret=fused_mode == "interpret")
+                else:
+                    from dynamic_tuning_tpu.ops.mha_serving import \
+                        dyt_prologue_serving_moe
+                    outs = dyt_prologue_serving_moe(
+                        x, g, bta, wqkv.astype(self.dtype), bqkv,
+                        wproj.astype(self.dtype), bproj,
+                        wrt, down_k, down_b, up_k, up_b, ascale, wsel, bsel,
+                        heads=self.num_heads,
+                        tau=self.tuning.moe_router_tau,
+                        with_select=with_select,
+                        interpret=fused_mode == "interpret")
             elif use_q8:
                 from dynamic_tuning_tpu.ops.quant import \
                     dyt_prologue_serving_q8

@@ -680,29 +680,11 @@ def _dyt_prologue_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj,
 #          sum_e g_e * (h_e @ U_e) == concat_e(h_e * g_e) @ stack_e(U_e))
 
 
-def _dyt_prologue_moe_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
-                             wproj_ref, bproj_ref, wrt_ref, wd_ref, bd_ref,
-                             wu_ref, bu_ref, asc_ref, wsel_ref, bsel_ref,
-                             o_ref, adapt_ref, sel_ref, qkv_s, out_s,
-                             *, heads: int, hd: int, scale: float,
-                             with_select: bool, experts: int, bneck: int,
-                             tau: float):
-    x = x_ref[0]
-    xf = x.astype(jnp.float32)
-    ln = layernorm_f32(xf, g_ref[0], b_ref[0])
-    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
-
-    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
-
-    proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    xm = xf + proj + bproj_ref[0]                       # fp32 [N, C]
-    o_ref[0] = xm.astype(o_ref.dtype)
-
+def moe_adapter_rows(xm, wrt_ref, wd_ref, bd_ref, wu_ref, bu_ref, asc_ref,
+                     *, experts: int, bneck: int, tau: float):
+    """MoE mixture on the VMEM-resident fp32 x_mid rows — shared by the bf16
+    prologue kernel below and the int8 variant (ops/quant.py).  Returns the
+    fp32 adapter rows [N, C]."""
     # router over experts: fp32 softmax (MoEAdapter semantics — no bias)
     r = jax.lax.dot_general(xm, wrt_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) * (1.0 / tau)
@@ -727,7 +709,35 @@ def _dyt_prologue_moe_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                              preferred_element_type=jnp.float32)
     upb = jax.lax.dot_general(gates, bu_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    adapt_ref[0] = ((up + upb) * asc_ref[0, 0]).astype(adapt_ref.dtype)
+    return (up + upb) * asc_ref[0, 0]
+
+
+def _dyt_prologue_moe_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                             wproj_ref, bproj_ref, wrt_ref, wd_ref, bd_ref,
+                             wu_ref, bu_ref, asc_ref, wsel_ref, bsel_ref,
+                             o_ref, adapt_ref, sel_ref, qkv_s, out_s,
+                             *, heads: int, hd: int, scale: float,
+                             with_select: bool, experts: int, bneck: int,
+                             tau: float):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    ln = layernorm_f32(xf, g_ref[0], b_ref[0])
+    qkv = jax.lax.dot_general(ln.astype(wqkv_ref.dtype), wqkv_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    attn_core_pairs(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
+
+    proj = jax.lax.dot_general(out_s[...], wproj_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    xm = xf + proj + bproj_ref[0]                       # fp32 [N, C]
+    o_ref[0] = xm.astype(o_ref.dtype)
+
+    adapt_ref[0] = moe_adapter_rows(
+        xm, wrt_ref, wd_ref, bd_ref, wu_ref, bu_ref, asc_ref,
+        experts=experts, bneck=bneck, tau=tau).astype(adapt_ref.dtype)
 
     if with_select:
         logits = jax.lax.dot_general(xm, wsel_ref[...],

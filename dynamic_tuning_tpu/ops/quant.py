@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from dynamic_tuning_tpu.ops.mha_serving import (_batch_partitioned,
                                                   erf_f32 as _erf_f32,
                                                 attn_core_pairs,
-                                                layernorm_f32)
+                                                layernorm_f32,
+                                                moe_adapter_rows
+                                                as _moe_adapter_rows)
 
 
 def quantize_weight(w: jax.Array):
@@ -548,6 +550,156 @@ def dyt_prologue_serving_q8(x, gamma, beta, wqkv, bqkv, wproj, bproj,
         qproj, sproj, bproj.reshape(1, C).astype(jnp.float32),
         wdown, bdown.reshape(1, ffn).astype(jnp.float32),
         wup, bup.reshape(1, C).astype(jnp.float32),
+        jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
+        wsel.reshape(C, 1).astype(jnp.float32),
+        jnp.asarray(bsel, jnp.float32).reshape(1, 1))
+    x_mid, adapt, sel = outs
+    return (x_mid, adapt, sel) if with_select else (x_mid, adapt)
+
+
+# --- int8 DyT prologue with the MoE-enhanced adapter ---------------------------
+#
+# Same contract as ops/mha_serving.py::dyt_prologue_serving_moe with the qkv
+# and out-proj matmuls on the int8 MXU path; the MoE mixture itself (router
+# softmax + lane-concatenated expert contraction on the VMEM-resident x_mid,
+# shared helper moe_adapter_rows) keeps the bf16/fp32 arithmetic — the
+# experts are tiny (C x bneck), their cost is fusion, not flops.
+
+
+def _dyt_prologue_q8_moe_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
+                                bqkv_ref, wproj_ref, sproj_ref, bproj_ref,
+                                wrt_ref, wd_ref, bd_ref, wu_ref, bu_ref,
+                                asc_ref, wsel_ref, bsel_ref,
+                                o_ref, adapt_ref, sel_ref, qkv_s, out_s,
+                                *, heads: int, hd: int, scale: float,
+                                with_select: bool, attn_q8: bool,
+                                experts: int, bneck: int, tau: float):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    ln = layernorm_f32(xf, g_ref[0], b_ref[0])
+    qkv = _q8_matmul(ln, wqkv_ref, sqkv_ref)
+    qkv_s[...] = (qkv + bqkv_ref[0]).astype(qkv_s.dtype)
+
+    core = attn_core_pairs_q8 if attn_q8 else attn_core_pairs
+    core(qkv_s, out_s, heads=heads, hd=hd, scale=scale)
+
+    proj = _q8_matmul(out_s[...].astype(jnp.float32), wproj_ref, sproj_ref)
+    xm = xf + proj + bproj_ref[0]
+    o_ref[0] = xm.astype(o_ref.dtype)
+
+    adapt_ref[0] = _moe_adapter_rows(
+        xm, wrt_ref, wd_ref, bd_ref, wu_ref, bu_ref, asc_ref,
+        experts=experts, bneck=bneck, tau=tau).astype(adapt_ref.dtype)
+
+    if with_select:
+        logits = jax.lax.dot_general(xm, wsel_ref[...],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        sel_ref[0] = logits + bsel_ref[0]
+
+
+def _dyt_prologue_q8_moe_impl(x, g, b, wqkv, sqkv, bqkv, wproj, sproj,
+                              bproj, wrt, wd, bd, wu, bu, asc, wsel, bsel,
+                              *, heads, with_select, attn_q8, experts,
+                              bneck, tau, interpret):
+    B, N, C = x.shape
+    hd = C // heads
+    assert heads % 2 == 0 and (2 * hd) % 128 == 0, (heads, hd)
+    eb = experts * bneck
+    scale = hd ** -0.5
+    adtype = wd.dtype
+    const = lambda b: (0, 0)
+    row = lambda b: (b, 0, 0)
+    flops = (2 * B * N * C * 4 * C + 2 * 2 * B * heads * N * N * 2 * hd
+             + 4 * B * N * C * eb + 2 * B * N * C * experts)
+    return pl.pallas_call(
+        functools.partial(_dyt_prologue_q8_moe_kernel, heads=heads, hd=hd,
+                          scale=scale, with_select=with_select,
+                          attn_q8=attn_q8, experts=experts, bneck=bneck,
+                          tau=tau),
+        out_shape=(jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, N, 1), jnp.float32)),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, experts), const,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, eb), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, eb), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((eb, C), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((experts, C), const,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, N, C), row, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, N, 1), row, memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((N, 3 * C), adtype),
+                        pltpu.VMEM((N, C), adtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * heads * N * N + B * N * experts,
+            bytes_accessed=3 * x.size * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, g, b, wqkv, sqkv, bqkv, wproj, sproj, bproj, wrt, wd, bd, wu, bu,
+      asc, wsel, bsel)
+
+
+@functools.lru_cache(maxsize=None)
+def _prologue_q8_moe_partitioned(heads: int, with_select: bool,
+                                 attn_q8: bool, experts: int, bneck: int,
+                                 tau: float, interpret: bool):
+    return _batch_partitioned(
+        lambda *a: _dyt_prologue_q8_moe_impl(*a, heads=heads,
+                                             with_select=with_select,
+                                             attn_q8=attn_q8,
+                                             experts=experts, bneck=bneck,
+                                             tau=tau, interpret=interpret),
+        arg_ndims=(3,) + (2,) * 16, out_ndims=(3, 3, 3))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "tau", "with_select",
+                                    "attn_q8", "interpret"))
+def dyt_prologue_serving_q8_moe(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                                wrouter, down_kernel, down_bias, up_kernel,
+                                up_bias, adapter_scale, wsel, bsel, *,
+                                heads: int, tau: float,
+                                with_select: bool = True,
+                                attn_q8: bool = False,
+                                interpret: bool = False):
+    """Int8 fused DyT serving prologue with the MoE-enhanced adapter — same
+    contract as ``dyt_prologue_serving_moe`` (x_mid, adapt[, router logits])
+    with the qkv and out-proj matmuls on the MXU int8 path.  Stacked-expert
+    params exactly as MoEAdapter declares them (already cast to the adapter
+    compute dtype by the caller): wrouter [C,E], down_kernel [E,C,b],
+    down_bias [E,b], up_kernel [E,b,C], up_bias [E,C].  SPMD-partitions
+    along the batch sharding (weights replicated)."""
+    C = x.shape[-1]
+    E, _, b = down_kernel.shape
+    down2d = down_kernel.transpose(1, 0, 2).reshape(C, E * b)
+    up2d = up_kernel.reshape(E * b, C)
+    qqkv, sqkv = quantize_weight(wqkv)
+    qproj, sproj = quantize_weight(wproj)
+    outs = _prologue_q8_moe_partitioned(heads, with_select, attn_q8, E, b,
+                                        tau, interpret)(
+        x, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32),
+        qqkv, sqkv, bqkv.reshape(1, 3 * C).astype(jnp.float32),
+        qproj, sproj, bproj.reshape(1, C).astype(jnp.float32),
+        wrouter.astype(jnp.float32), down2d,
+        down_bias.reshape(1, E * b).astype(jnp.float32), up2d,
+        up_bias.astype(jnp.float32),
         jnp.asarray(adapter_scale, jnp.float32).reshape(1, 1),
         wsel.reshape(C, 1).astype(jnp.float32),
         jnp.asarray(bsel, jnp.float32).reshape(1, 1))

@@ -11,6 +11,9 @@ batch 128 bf16 capacity-dispatch (the bench.py protocol):
                                                 within <=8% of A)
   C. MoE-4 adapter, DYT_FUSED_ATTN=0           (context: fully unfused MoE)
   D. plain adapter, DYT_FUSED_ATTN=0           (context: fully unfused)
+  E. plain adapter, int8 fused                 (the int8 headline config)
+  F. MoE-4 adapter, int8 fused MoE prologue    (ops/quant.py::
+                                                dyt_prologue_serving_q8_moe)
 
 Timings via scripts/bench_util.device_time (tunnel-RTT-free scan
 difference), variants timed back-to-back in one session so the ratios
@@ -20,6 +23,7 @@ Run (TPU): python scripts/profile_moe_cost.py [--batch 128]
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -48,16 +52,19 @@ def main():
                           (args.batch, 224, 224, 3), jnp.float32)
 
     variants = {
-        "plain_fused": (TuningConfig(), "1"),
-        "moe4_fused": (TuningConfig(moe_experts=4), "1"),
-        "moe4_unfused": (TuningConfig(moe_experts=4), "0"),
-        "plain_unfused": (TuningConfig(), "0"),
+        "plain_fused": (TuningConfig(), "1", "none"),
+        "moe4_fused": (TuningConfig(moe_experts=4), "1", "none"),
+        "moe4_unfused": (TuningConfig(moe_experts=4), "0", "none"),
+        "plain_unfused": (TuningConfig(), "0", "none"),
+        "plain_q8_fused": (TuningConfig(), "1", "int8"),
+        "moe4_q8_fused": (TuningConfig(moe_experts=4), "1", "int8"),
     }
 
     out = {}
-    for name, (tun, fused) in variants.items():
+    for name, (tun, fused, quant) in variants.items():
         os.environ["DYT_FUSED_ATTN"] = fused
-        model = VisionTransformer(cfg, tuning=tun, select=sel,
+        model = VisionTransformer(dataclasses.replace(cfg, quant=quant),
+                                  tuning=tun, select=sel,
                                   dtype=jnp.bfloat16)
         params = model.init(jax.random.PRNGKey(1), x[:2])["params"]
 
@@ -72,9 +79,12 @@ def main():
         print(json.dumps({name: out[name]}), flush=True)
 
     a, b = out["plain_fused"]["ms"], out["moe4_fused"]["ms"]
+    aq, bq = out["plain_q8_fused"]["ms"], out["moe4_q8_fused"]["ms"]
     print(json.dumps({
         "moe_serving_premium": round(b / a, 4),
         "moe_premium_ms": round(b - a, 3),
+        "moe_q8_serving_premium": round(bq / aq, 4),
+        "moe_q8_premium_ms": round(bq - aq, 3),
         "moe_unfused_context_ms": out["moe4_unfused"]["ms"],
         "all_unfused_context_ms": out["plain_unfused"]["ms"],
     }))

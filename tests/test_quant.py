@@ -123,6 +123,70 @@ def test_q8_prologue_matches_bf16_prologue_contract():
         assert rel < 0.02, (name, rel)
 
 
+def test_q8_moe_prologue_matches_bf16_moe_prologue_contract():
+    """The int8 MoE prologue (ops/quant.py::dyt_prologue_serving_q8_moe)
+    returns the same (x_mid, adapt, sel) contract as the bf16 MoE prologue
+    with drift bounded by the qkv/proj int8 rounding (the mixture itself is
+    identical arithmetic — the shared moe_adapter_rows helper)."""
+    from dynamic_tuning_tpu.ops.mha_serving import dyt_prologue_serving_moe
+    from dynamic_tuning_tpu.ops.quant import dyt_prologue_serving_q8_moe
+
+    key = jax.random.PRNGKey(6)
+    x, g, b, wqkv, bqkv, wproj, bproj = _sublayer_args(key)
+    C, E, bn = 256, 4, 16
+    ks = jax.random.split(key, 5)
+    wrt = jax.random.normal(ks[0], (C, E)) * 0.05
+    down_k = jax.random.normal(ks[1], (E, C, bn), jnp.bfloat16) * 0.05
+    down_b = jnp.zeros((E, bn))
+    up_k = jax.random.normal(ks[2], (E, bn, C), jnp.bfloat16) * 0.05
+    up_b = jax.random.normal(ks[3], (E, C)) * 0.01
+    wsel = jax.random.normal(ks[4], (C, 1)) * 0.05
+    bsel = jnp.zeros(1)
+    a_bf = dyt_prologue_serving_moe(
+        x, g, b, wqkv, bqkv, wproj, bproj, wrt, down_k, down_b, up_k, up_b,
+        0.1, wsel, bsel, heads=4, tau=1.0, interpret=True)
+    a_q8 = dyt_prologue_serving_q8_moe(
+        x, g, b, wqkv, bqkv, wproj, bproj, wrt, down_k, down_b, up_k, up_b,
+        0.1, wsel, bsel, heads=4, tau=1.0, interpret=True)
+    assert len(a_bf) == len(a_q8) == 3
+    for name, u, v in zip(("x_mid", "adapt", "sel"), a_bf, a_q8):
+        u = np.asarray(u, np.float32)
+        v = np.asarray(v, np.float32)
+        rel = np.abs(u - v).mean() / (np.abs(u).mean() + 1e-9)
+        assert rel < 0.02, (name, rel)
+
+
+def test_model_int8_moe_same_tree_and_bounded_drift(monkeypatch):
+    """int8 + MoE serving now runs the fused q8 MoE prologue (was the
+    module-path fallback): the param tree must stay identical to the bf16
+    MoE model's and logits drift stays bounded by the int8 rounding."""
+    monkeypatch.setenv("DYT_FUSED_ATTN", "interpret")
+    mc = dict(img_size=32, patch_size=8, num_classes=10, embed_dim=256,
+              depth=2, num_heads=4, residual_dtype="bfloat16")
+    tuning = TuningConfig(ffn_num=16, moe_experts=4, moe_router_tau=1.0)
+    m_bf = VisionTransformer(ModelConfig(**mc), tuning=tuning,
+                             select=SelectConfig(), dtype=jnp.bfloat16)
+    m_q8 = VisionTransformer(ModelConfig(**mc, quant="int8"), tuning=tuning,
+                             select=SelectConfig(), dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), jnp.float32)
+    params = m_bf.init(jax.random.PRNGKey(1), x)["params"]
+    p2 = m_q8.init(jax.random.PRNGKey(1), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    # perturb off init (MoE router/up kernels are zeros-init)
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        tree, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+               for l, k in zip(leaves, keys)])
+    for mode in (dict(), dict(dispatch=True), dict(complete_model=True)):
+        l_bf, _ = m_bf.apply({"params": params}, x, **mode)
+        l_q8, _ = m_q8.apply({"params": params}, x, **mode)
+        d = np.abs(np.asarray(l_bf) - np.asarray(l_q8)).max()
+        scale = np.abs(np.asarray(l_bf)).max()
+        assert d < 0.05 * max(scale, 1.0), (mode, d, scale)
+
+
 def test_q8_kernels_partition_over_data_mesh():
     """q8_ln_mlp SPMD-partitions on the batch axis (per-shard row counts are
     padded to the 128-row grid tile inside the shard-local impl)."""
