@@ -156,6 +156,40 @@ def test_q8_moe_prologue_matches_bf16_moe_prologue_contract():
         assert rel < 0.02, (name, rel)
 
 
+def test_q8_moe_prologue_partitions_over_data_mesh():
+    """dyt_prologue_serving_q8_moe SPMD-partitions along the batch sharding
+    with no induced collectives (same _batch_partitioned machinery as the
+    plain q8 prologue — this pins the new kernel's 17-arg wiring)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from dynamic_tuning_tpu.ops.quant import dyt_prologue_serving_q8_moe
+
+    devs = np.asarray(jax.devices())
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devs, ("data",))
+    key = jax.random.PRNGKey(7)
+    x, g, b, wqkv, bqkv, wproj, bproj = _sublayer_args(
+        key, N=128)  # grid-tile row count so shards need no padding
+    B = int(len(devs))
+    x = jnp.tile(x[:1], (B, 1, 1))
+    x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    C, E, bn = 256, 4, 16
+    ks = jax.random.split(key, 4)
+    wrt = jax.random.normal(ks[0], (C, E)) * 0.05
+    down_k = jax.random.normal(ks[1], (E, C, bn), jnp.bfloat16) * 0.05
+    up_k = jax.random.normal(ks[2], (E, bn, C), jnp.bfloat16) * 0.05
+    wsel = jax.random.normal(ks[3], (C, 1)) * 0.05
+    f = jax.jit(lambda xx: dyt_prologue_serving_q8_moe(
+        xx, g, b, wqkv, bqkv, wproj, bproj, wrt, down_k, jnp.zeros((E, bn)),
+        up_k, jnp.zeros((E, C)), 0.1, wsel, jnp.zeros(1), heads=4, tau=1.0,
+        interpret=True))
+    outs = f(x)
+    for o in outs:
+        assert o.sharding.spec == P("data"), o.sharding
+    txt = f.lower(x).compile().as_text()
+    assert txt.count("all-gather") == 0 and txt.count("all-reduce") == 0
+
+
 def test_model_int8_moe_same_tree_and_bounded_drift(monkeypatch):
     """int8 + MoE serving now runs the fused q8 MoE prologue (was the
     module-path fallback): the param tree must stay identical to the bf16
