@@ -24,6 +24,10 @@ def get_args_parser():
     p.add_argument("--batch_size", default=128, type=int)
     p.add_argument("--nb_classes", default=100, type=int)
     p.add_argument("--ffn_num", default=64, type=int)
+    p.add_argument("--moe_experts", default=0, type=int,
+                   help="measure the MoE-enhanced adapter (fused prologue "
+                        "in bf16 and int8)")
+    p.add_argument("--moe_router_tau", default=1.0, type=float)
     p.add_argument("--token_target_ratio", type=float, default=0.5)
     p.add_argument("--capacity_ratio", type=float, default=None)
     p.add_argument("--mode", default="dispatch",
@@ -85,7 +89,9 @@ def main(args):
         sel = SelectConfig(open=False)
         tuning = TuningConfig(ffn_adapt=False)
     else:
-        tuning = TuningConfig(ffn_num=args.ffn_num)
+        tuning = TuningConfig(ffn_num=args.ffn_num,
+                              moe_experts=args.moe_experts,
+                              moe_router_tau=args.moe_router_tau)
     model = VisionTransformer(
         ModelConfig(num_classes=args.nb_classes, gelu_approx=args.gelu_approx,
                     residual_dtype=args.residual_dtype, quant=args.quant),
