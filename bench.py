@@ -160,6 +160,61 @@ def main():
     except Exception:
         pass  # int8 serving is an extra: never fail the headline bench
 
+    # MoE-enhanced adapter serving (the north-star clause: MoE fuses into
+    # the same Pallas prologue — ops/mha_serving.py::dyt_prologue_serving_moe)
+    moe = {}
+    try:
+        dyt_moe = VisionTransformer(cfg, tuning=TuningConfig(moe_experts=4),
+                                    select=sel, dtype=jnp.bfloat16)
+        moe_params = dyt_moe.init(jax.random.PRNGKey(1), x[:2])["params"]
+        def fn_moe(p, xx):
+            logits, _ = dyt_moe.apply({"params": p}, xx, dispatch=True)
+            return logits.sum()
+        @jax.jit
+        def many_moe(p, xx):
+            def body(c, _):
+                return fn_moe(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+            return out
+        _ = float(many_moe(moe_params, x))
+        t_best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _ = float(many_moe(moe_params, x))
+            t_best = min(t_best, time.perf_counter() - t0)
+        moe_ips = BATCH * ITERS / t_best
+        moe = {"moe4_img_s": round(moe_ips, 2),
+               "moe4_premium_vs_plain_dyt": round(dyt_ips / moe_ips, 4)}
+        # int8 MoE (ops/quant.py::dyt_prologue_serving_q8_moe) — same
+        # params, quantized at serving time like the plain int8 field
+        import dataclasses as _dcm
+        moe_q8 = VisionTransformer(
+            _dcm.replace(cfg, quant="int8"),
+            tuning=TuningConfig(moe_experts=4), select=sel,
+            dtype=jnp.bfloat16)
+        def fn_moe_q8(p, xx):
+            logits, _ = moe_q8.apply({"params": p}, xx, dispatch=True)
+            return logits.sum()
+        @jax.jit
+        def many_moe_q8(p, xx):
+            def body(c, _):
+                return fn_moe_q8(p, xx + (c != 0).astype(xx.dtype)).astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+            return out
+        _ = float(many_moe_q8(moe_params, x))
+        t_best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _ = float(many_moe_q8(moe_params, x))
+            t_best = min(t_best, time.perf_counter() - t0)
+        moe_q8_ips = BATCH * ITERS / t_best
+        moe["moe4_int8_img_s"] = round(moe_q8_ips, 2)
+        if q8.get("int8_img_s"):
+            moe["moe4_int8_premium_vs_plain_int8"] = round(
+                q8["int8_img_s"] / moe_q8_ips, 4)
+    except Exception:
+        pass  # MoE serving is an extra: never fail the headline bench
+
     # chip-health probe: the tunneled chip is sometimes externally
     # throttled (observed 0.2 vs 182 TFLOPS); vs_baseline is same-run
     # interleaved so the RATIO survives, but absolute img/s doesn't —
@@ -392,6 +447,7 @@ def main():
         "vs_baseline": round(dyt_ips / dense_ips, 4),
         "baseline_dense_ips": round(dense_ips, 2),
         **q8,
+        **moe,
         **health,
         **trn,
         **vid,
