@@ -216,6 +216,11 @@ def check_compat_args(args) -> None:
 
 def args_to_config(args, *, no_aug: bool = False) -> RunConfig:
     check_compat_args(args)
+    # CLI invocations get the persistent XLA compilation cache (multi-minute
+    # jit compiles survive process restarts — sweeps, resumes, serving
+    # relaunches); DYT_COMPILE_CACHE=0 opts out, tests never enter here
+    from dynamic_tuning_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     # registry-key resolution, like the reference's
     # ``CHECKPOINTS[args.finetune]`` / ``DATASETS`` dicts keyed by the
     # CLUSTER env var (main_image.py:369-370, configs.py:4-34): --finetune

@@ -92,6 +92,8 @@ def _load_canvas(path, canvas=256):
 
 
 def main(args):
+    from dynamic_tuning_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = ModelConfig(num_classes=args.nb_classes, gelu_approx=True,
                       residual_dtype="bfloat16", img_size=args.img_size,
                       patch_size=args.patch_size, embed_dim=args.embed_dim,

@@ -81,6 +81,8 @@ def get_args_parser():
 
 
 def main(args):
+    from dynamic_tuning_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     sel = SelectConfig(token_target_ratio=args.token_target_ratio,
                        capacity_ratio=args.capacity_ratio)
     if args.mode == "plain":
