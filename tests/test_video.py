@@ -225,6 +225,24 @@ def test_video_tubelet_forward_and_import():
         w3d.transpose(2, 3, 4, 1, 0))
 
 
+def test_tb_taps_reconstruct_dense_matrix():
+    """The 4-tap gather form of the resize (round-5 fix for the 19x decode
+    regression the dense-einsum kernel caused, BENCH.md) must reproduce the
+    dense torch-bicubic matrix EXACTLY — scatter the taps back and compare
+    bitwise, across up/down/identity scales and awkward sizes."""
+    from dynamic_tuning_tpu.data.video import _tb_matrix, _tb_taps
+
+    for n_in, n_out in [(240, 256), (320, 341), (64, 224), (224, 64),
+                        (7, 13), (13, 7), (100, 100), (1, 5), (5, 1)]:
+        m = _tb_matrix(n_in, n_out)
+        idx, wts = _tb_taps(n_in, n_out)
+        back = np.zeros_like(m)
+        for i in range(n_out):
+            for j in range(4):
+                back[i, idx[i, j]] += wts[i, j]
+        np.testing.assert_array_equal(back, m, err_msg=str((n_in, n_out)))
+
+
 def test_video_resize_matches_torch_bicubic():
     """The CPU video resize must reproduce the reference's kernel exactly:
     torch F.interpolate(mode='bicubic', align_corners=False)
