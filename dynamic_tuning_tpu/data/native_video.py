@@ -41,6 +41,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dyt_video_decode.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+    try:
+        lib.dyt_resize_bicubic.restype = ctypes.c_int
+        lib.dyt_resize_bicubic.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:
+        pass  # stale .so without the resize entry point; callers fall back
     _LIB = lib
     return lib
 
@@ -99,3 +110,28 @@ def read_frames(path: str, want: List[int]) -> Dict[int, np.ndarray]:
     if filled < 0:
         raise IOError(f"cannot decode video: {path}")
     return {i: buf[j] for j, i in enumerate(order[:filled])}
+
+
+def resize_bicubic(img: np.ndarray, nh: int, nw: int,
+                   idx_h: np.ndarray, wts_h: np.ndarray,
+                   idx_w: np.ndarray, wts_w: np.ndarray
+                   ) -> Optional[np.ndarray]:
+    """4-tap separable resize of an HxWx3 uint8 frame using tap tables from
+    ``data/video.py::_tb_taps`` (the torch-bicubic kernel, single-sourced).
+    Runs in C with the GIL released — loader threads resize concurrently.
+    Returns None when the native library (or the entry point) is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dyt_resize_bicubic") \
+            or getattr(lib.dyt_resize_bicubic, "argtypes", None) is None:
+        return None
+    img = np.ascontiguousarray(img)
+    out = np.empty((nh, nw, 3), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    rc = lib.dyt_resize_bicubic(
+        img.ctypes.data_as(u8), img.shape[0], img.shape[1],
+        idx_h.ctypes.data_as(i32), wts_h.ctypes.data_as(f32), nh,
+        idx_w.ctypes.data_as(i32), wts_w.ctypes.data_as(f32), nw,
+        out.ctypes.data_as(u8))
+    return out if rc == 0 else None

@@ -370,7 +370,7 @@ def _tb_taps(n_in: int, n_out: int):
     dominating video decode and masking the native decoder's 2.3x edge,
     BENCH.md round 5)."""
     m = _tb_matrix(n_in, n_out)
-    idx = np.zeros((n_out, 4), np.int64)
+    idx = np.zeros((n_out, 4), np.int32)
     wts = np.zeros((n_out, 4), np.float32)
     for i in range(n_out):
         nz = np.nonzero(m[i])[0]
@@ -394,6 +394,20 @@ def _bicubic_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
     at overshooting hard edges)."""
     ih, wh = _tb_taps(img.shape[0], nh)
     iw, ww = _tb_taps(img.shape[1], nw)
+    if (img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+            and os.environ.get("DYT_NATIVE_RESIZE", "1") != "0"):
+        # C path: same taps, same float32 pair-order arithmetic, but the
+        # GIL is released for the call and the loops vectorize — loader
+        # threads resize concurrently with the main thread's H2D work
+        # (native/dyt_video.cpp::dyt_resize_bicubic; parity pinned by
+        # tests/test_video.py::test_native_resize_matches_numpy)
+        try:
+            from dynamic_tuning_tpu.data import native_video
+            out = native_video.resize_bicubic(img, nh, nw, ih, wh, iw, ww)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     out = img.astype(np.float32)
     out = (out[ih] * wh[:, :, None, None]).sum(axis=1)         # [nh, w, c]
     out = (out[:, iw] * ww[None, :, :, None]).sum(axis=2)      # [nh, nw, c]

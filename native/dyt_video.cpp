@@ -190,4 +190,53 @@ int dyt_video_decode(const char* path, const int* want, int n,
   return filled;
 }
 
+// Separable 4-tap resize of an RGB24 frame with CALLER-SUPPLIED tap tables
+// (indices [n_out*4] int32 + weights [n_out*4] float32 per axis, computed
+// in Python from the torch-bicubic matrix — data/video.py::_tb_taps keeps
+// the kernel math single-sourced).  Same arithmetic as the numpy path:
+// float32 accumulation in pair order (w0*a + w1*b) + (w2*c + w3*d), then
+// +0.5, clip to [0,255], truncate to uint8.  The point of doing it here:
+// ctypes releases the GIL for the call and -O3/-march=native vectorizes
+// the row loops, so loader THREADS can resize concurrently with the main
+// thread's H2D work (the numpy fancy-indexing path holds the GIL and
+// measured 6.3 ms/frame; see BENCH.md round-5 decode correction).
+int dyt_resize_bicubic(const uint8_t* in, int h, int w,
+                       const int* ih, const float* wh, int nh,
+                       const int* iw, const float* ww, int nw,
+                       uint8_t* out) {
+  if (h <= 0 || w <= 0 || nh <= 0 || nw <= 0) return -1;
+  const int row = w * 3;
+  std::vector<float> tmp(static_cast<size_t>(nh) * row);
+  for (int i = 0; i < nh; ++i) {
+    const uint8_t* r0 = in + static_cast<size_t>(ih[4 * i + 0]) * row;
+    const uint8_t* r1 = in + static_cast<size_t>(ih[4 * i + 1]) * row;
+    const uint8_t* r2 = in + static_cast<size_t>(ih[4 * i + 2]) * row;
+    const uint8_t* r3 = in + static_cast<size_t>(ih[4 * i + 3]) * row;
+    const float w0 = wh[4 * i + 0], w1 = wh[4 * i + 1];
+    const float w2 = wh[4 * i + 2], w3 = wh[4 * i + 3];
+    float* dst = tmp.data() + static_cast<size_t>(i) * row;
+    for (int x = 0; x < row; ++x)
+      dst[x] = (w0 * r0[x] + w1 * r1[x]) + (w2 * r2[x] + w3 * r3[x]);
+  }
+  for (int i = 0; i < nh; ++i) {
+    const float* src = tmp.data() + static_cast<size_t>(i) * row;
+    uint8_t* orow = out + static_cast<size_t>(i) * nw * 3;
+    for (int j = 0; j < nw; ++j) {
+      const float* p0 = src + 3 * iw[4 * j + 0];
+      const float* p1 = src + 3 * iw[4 * j + 1];
+      const float* p2 = src + 3 * iw[4 * j + 2];
+      const float* p3 = src + 3 * iw[4 * j + 3];
+      const float w0 = ww[4 * j + 0], w1 = ww[4 * j + 1];
+      const float w2 = ww[4 * j + 2], w3 = ww[4 * j + 3];
+      for (int c = 0; c < 3; ++c) {
+        float v = (w0 * p0[c] + w1 * p1[c]) + (w2 * p2[c] + w3 * p3[c])
+                  + 0.5f;
+        v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+        orow[3 * j + c] = static_cast<uint8_t>(v);
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

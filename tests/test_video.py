@@ -243,6 +243,37 @@ def test_tb_taps_reconstruct_dense_matrix():
         np.testing.assert_array_equal(back, m, err_msg=str((n_in, n_out)))
 
 
+def test_native_resize_matches_numpy():
+    """The C resize (native/dyt_video.cpp::dyt_resize_bicubic — GIL-free,
+    vectorized) must match the numpy tap form within the house +-1 uint8
+    rounding tolerance: same taps, same float32 pair-order arithmetic; the
+    only freedom is last-ulp float ordering at .5 rounding boundaries."""
+    import os
+
+    from dynamic_tuning_tpu.data import native_video
+    from dynamic_tuning_tpu.data.video import _bicubic_resize, _tb_taps
+
+    if not native_video.available():
+        pytest.skip("native video library unavailable")
+    rs = np.random.RandomState(1)
+    for (h, w, nh, nw) in [(240, 320, 256, 341), (90, 120, 224, 298),
+                           (64, 64, 320, 320), (240, 320, 64, 48),
+                           (7, 13, 29, 31)]:
+        img = rs.randint(0, 256, (h, w, 3), np.uint8)
+        ih, wh = _tb_taps(h, nh)
+        iw, ww = _tb_taps(w, nw)
+        got = native_video.resize_bicubic(img, nh, nw, ih, wh, iw, ww)
+        assert got is not None
+        os.environ["DYT_NATIVE_RESIZE"] = "0"
+        try:
+            ref = _bicubic_resize(img, nw, nh)
+        finally:
+            os.environ.pop("DYT_NATIVE_RESIZE", None)
+        assert got.shape == ref.shape == (nh, nw, 3)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, \
+            (h, w, nh, nw)
+
+
 def test_video_resize_matches_torch_bicubic():
     """The CPU video resize must reproduce the reference's kernel exactly:
     torch F.interpolate(mode='bicubic', align_corners=False)
