@@ -1,0 +1,171 @@
+"""Overlapped VIDEO input-pipeline bench: decoder + H2D + jitted train step
+CONCURRENTLY (the video half of VERDICT r4 #3b; image half in
+bench_overlap.py).
+
+Drives the REAL VideoRunner epoch loop (train/video_runner.py pipelines one
+step in flight) over two data sources:
+
+  synthetic — in-memory uint8 clips: the pure device-rate ceiling
+  mp4       — real mp4 files through the K400 train protocol (random-window
+              TSN sampling, union-of-segments single-pass decode, canvas
+              resize).  On a 1-core host the decode ceiling sits BELOW the
+              video train rate, so sustained must approach the LOADER-ONLY
+              rate — max(loader, device), true overlap — not the serial
+              1/(1/L + 1/D).
+
+Content recipe matches scripts/bench_video_decode.py (rolled-noise 320x240
+mp4v, 64 frames — the basis of the per-worker decode rates in BENCH.md).
+The reference's answer to the same problem is num_workers=10 per rank with
+decord (/root/reference/main_image.py:169-183, k400.py:115-117); ours is
+the native libav decoder + the one-step-in-flight device loop.
+
+Run (TPU): python scripts/bench_overlap_video.py [--n 256 --batch 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+W, H, FRAMES = 320, 240, 64
+
+
+def make_video_tree(root: str, n: int, classes: int = 10):
+    import cv2
+
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(0)
+    base = rs.randint(0, 255, (H, W, 3), np.uint8)
+    lines = []
+    for i in range(n):
+        path = os.path.join(root, f"clip{i}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                            (W, H))
+        assert w.isOpened(), path
+        for t in range(FRAMES):
+            w.write(np.roll(base, (i * 13 + t) * 3, axis=1))
+        w.release()
+        lines.append(f"clip{i}.mp4 {i % classes}")
+    with open(os.path.join(root, "train.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(root, "val.csv"), "w") as f:
+        f.write("\n".join(lines[:classes]) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from dynamic_tuning_tpu.config import (DataConfig, ModelConfig,
+                                           OptimConfig, RunConfig,
+                                           SelectConfig, TuningConfig)
+    from dynamic_tuning_tpu.train.video_runner import VideoRunner
+
+    root = tempfile.mkdtemp(prefix="dyt_overlap_video_")
+    print(json.dumps({"backend": jax.default_backend(),
+                      "host_cores": os.cpu_count()}), flush=True)
+    t0 = time.perf_counter()
+    make_video_tree(root, args.n)
+    print(json.dumps({"encoded_clips": args.n,
+                      "encode_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+    def loader_only():
+        from dynamic_tuning_tpu.data.loader import DataLoader
+        from dynamic_tuning_tpu.data.video import build_video_dataset
+
+        train, _, _ = build_video_dataset("k400", root,
+                                          clip_len=args.frames)
+        dl = DataLoader(train, args.batch, shuffle=True, drop_last=True,
+                        num_workers=args.workers)
+        best = 0.0
+        for _ in range(2):
+            dl.set_epoch(0)
+            t0 = time.perf_counter()
+            nclips = sum(b[1].shape[0] for b in dl)
+            best = max(best, nclips / (time.perf_counter() - t0))
+        return best
+
+    out = {"loader_only_clips_s": round(loader_only(), 1)}
+    print(json.dumps({"loader_only_clips_s": out["loader_only_clips_s"]}),
+          flush=True)
+
+    # ONE runner serves both arms so the device program and the per-step
+    # H2D bytes are IDENTICAL (a canvas-256 synthetic ceiling vs canvas-320
+    # mp4 batches confounds the comparison — over a tunneled chip the
+    # transfer is a real per-step cost); the ceiling arm swaps in an
+    # in-memory loader over PRE-DECODED clips from the same mp4 set.
+    cfg = RunConfig(
+        model=ModelConfig(num_classes=400,
+                          num_frames=args.frames),      # full video ViT-B
+        tuning=TuningConfig(), select=SelectConfig(),
+        optim=OptimConfig(lr=1e-3, warmup_epochs=0, epochs=5),
+        data=DataConfig(dataset="k400", data_path=root,
+                        batch_size=args.batch, num_workers=args.workers,
+                        num_frames=args.frames),
+        output_dir="", compute_dtype="bfloat16")
+    r = VideoRunner(cfg)
+    nb = len(r.train_loader) * args.batch
+
+    r.train_one_epoch(0)                      # compile + loader warmup
+    t0 = time.perf_counter()
+    r.train_one_epoch(1)
+    out["sustained_mp4_clips_s"] = round(nb / (time.perf_counter() - t0), 1)
+    print(json.dumps({"sustained_mp4": out["sustained_mp4_clips_s"]}),
+          flush=True)
+
+    class _InMemoryClips:
+        """Pre-decoded clips from the same files: the zero-decode ceiling
+        with byte-identical batch shapes."""
+
+        def __init__(self, ds, unique, total):
+            self.clips = [ds[i][0] for i in range(unique)]
+            self.total = total
+            self.num_classes = ds.num_classes
+
+        def __len__(self):
+            return self.total
+
+        def __getitem__(self, i):
+            return self.clips[i % len(self.clips)], i % 10
+
+    from dynamic_tuning_tpu.data.loader import DataLoader
+
+    mem_ds = _InMemoryClips(r.train_loader.ds, min(64, args.n), args.n)
+    r.train_loader = DataLoader(mem_ds, args.batch, shuffle=True,
+                                drop_last=True, num_workers=args.workers)
+    r.train_one_epoch(2)                      # loader warmup (no recompile)
+    t0 = time.perf_counter()
+    r.train_one_epoch(3)
+    out["device_rate_clips_s"] = round(nb / (time.perf_counter() - t0), 1)
+    print(json.dumps({"device_rate": out["device_rate_clips_s"]}),
+          flush=True)
+
+    serial = 1.0 / (1.0 / out["loader_only_clips_s"]
+                    + 1.0 / out["device_rate_clips_s"])
+    print(json.dumps({
+        "device_rate_clips_s": out["device_rate_clips_s"],
+        "sustained_mp4_clips_s": out["sustained_mp4_clips_s"],
+        "loader_only_clips_s": out["loader_only_clips_s"],
+        "serial_composition_would_be": round(serial, 1),
+        "overlap_efficiency": round(
+            out["sustained_mp4_clips_s"]
+            / min(out["loader_only_clips_s"], out["device_rate_clips_s"]),
+            3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
