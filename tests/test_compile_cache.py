@@ -15,11 +15,20 @@ import dynamic_tuning_tpu.utils.compile_cache as cc
 
 @pytest.fixture(autouse=True)
 def _restore_jax_cache_config():
+    # jax initializes its cache backend lazily ONCE per process; an earlier
+    # test that jitted with a cache dir configured (the CLI tests call
+    # args_to_config -> enable_persistent_cache) pins the old dir, and a
+    # later config update alone doesn't re-point it — reset around each
+    # test so the dir configured HERE is the one that takes effect
+    from jax._src import compilation_cache as jax_cc
+
     before = jax.config.jax_compilation_cache_dir
     done = cc._done
+    jax_cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", before)
     cc._done = done
+    jax_cc.reset_cache()
 
 
 def test_env_zero_disables(monkeypatch):
