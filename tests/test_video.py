@@ -274,6 +274,30 @@ def test_native_resize_matches_numpy():
             (h, w, nh, nw)
 
 
+def test_decode_routes_through_native_resize(monkeypatch, tmp_path):
+    """Wiring guard: VideoDataset._decode must actually CALL the C resize
+    when the native library is present (a silent fallback to the numpy
+    path is exactly how the 19x decode regression class hides — the
+    parity tests stay green while throughput collapses)."""
+    import dynamic_tuning_tpu.data.native_video as nv
+    from dynamic_tuning_tpu.data import video as V
+
+    if not nv.available():
+        pytest.skip("native video library unavailable")
+    calls = []
+    real = nv.resize_bicubic
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(nv, "resize_bicubic", spy)
+    img = np.arange(240 * 320 * 3, dtype=np.uint8).reshape(240, 320, 3)
+    out = V._resize_short_side(img, 64)
+    assert out.shape == (64, 64, 3)
+    assert calls, "C resize was not invoked by the decode path"
+
+
 def test_video_resize_matches_torch_bicubic():
     """The CPU video resize must reproduce the reference's kernel exactly:
     torch F.interpolate(mode='bicubic', align_corners=False)
